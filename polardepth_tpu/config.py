@@ -1,0 +1,133 @@
+"""Single structured config consumed by every entry point.
+
+Replaces the reference's ~70-flag argparse namespace (reference:
+manydepth/options.py:13-380) and the hardcoded attribute blocks in its eval
+scripts (manydepth/evaluation.py:24-52, pointcloud/eval_pointcloud.py:32-85).
+Field names follow the reference flags so users of the original can map their
+shell scripts 1:1; defaults reproduce the published run
+(train_supervised_GT.sh).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # ---- paths --------------------------------------------------------------
+    data_path: str = ""
+    data_path_val: str = ""
+    log_dir: str = "experiments"
+    model_name: str = "polardepth"
+
+    # ---- image geometry -----------------------------------------------------
+    height: int = 320            # must be a multiple of 32
+    width: int = 480
+    scales: Sequence[int] = (0, 1, 2, 3)
+    min_depth: float = 0.1
+    max_depth: float = 2.0
+
+    # ---- dataset ------------------------------------------------------------
+    dataset: str = "HAMMER"
+    split: str = "HAMMER"
+    eval_split: str = "HAMMER_unseen"
+    frame_ids: Sequence[int] = (0, -1, 1)
+    offset: int = 10             # temporal neighbour spacing in frames
+    modality: str = "polarization"
+    depth_modality: str = "_gt"  # folder suffix holding supervision depth
+    overfit: bool = False
+    overfit_scene: str = ""
+
+    # ---- model graph selection (mirrors reference flag combinations) --------
+    depth_supervision: bool = True
+    depth_supervision_only: bool = True
+    augment_xolp: bool = True
+    augment_normals: bool = True
+    train_student: bool = False      # ManyDepth cost-volume student path
+    train_dpt: bool = False          # DPT/MiDaS backbone path
+    pose_input: bool = False         # use GT poses instead of pose net
+    supervise_pose: bool = False
+    use_attention: bool = False      # arch1++_attention variant
+    num_layers: int = 18
+    weights_init: str = "scratch"    # "pretrained" needs a converted ResNet18 pytree
+    dropout_rate: float = 0.1
+    refraction_index: float = 1.5    # n for the Fresnel normal priors
+
+    # ---- cost volume (student path) -----------------------------------------
+    num_depth_bins: int = 96
+    depth_binning: str = "linear"
+    num_matching_frames: int = 1
+    use_future_frame: bool = False
+    no_matching_augmentation: bool = True
+    disable_motion_masking: bool = False
+    freeze_teacher_epoch: int = -1
+
+    # ---- losses -------------------------------------------------------------
+    normals_loss_weight: float = 0.35
+    disparity_smoothness: float = 1e-3
+    no_ssim: bool = False
+    avg_reprojection: bool = False
+    disable_automasking: bool = False
+    v1_multiscale: bool = False
+
+    # ---- optimization -------------------------------------------------------
+    batch_size: int = 12
+    learning_rate: float = 1e-4
+    num_epochs: int = 50
+    scheduler_step_size: int = 15    # StepLR: lr *= 0.1 every N epochs
+    scheduler_gamma: float = 0.1
+
+    # ---- logging / checkpointing --------------------------------------------
+    log_frequency: int = 250
+    save_frequency: int = 1
+    checkpoint_dir: str = ""
+
+    # ---- TPU execution ------------------------------------------------------
+    compute_dtype: str = "float32"   # "bfloat16" for the fast path
+    mesh_shape: Sequence[int] = (-1,)  # -1: all devices on the 'data' axis
+    use_pallas: bool = True          # fused Pallas preprocessing kernels
+    donate_state: bool = True
+    seed: int = 42
+
+    @property
+    def num_scales(self) -> int:
+        return len(self.scales)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["scales"] = list(self.scales)
+        d["frame_ids"] = list(self.frame_ids)
+        d["mesh_shape"] = list(self.mesh_shape)
+        return json.dumps(d, indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        d = json.loads(s)
+        for k in ("scales", "frame_ids", "mesh_shape"):
+            if k in d:
+                d[k] = tuple(d[k])
+        return cls(**d)
+
+    def validate(self) -> None:
+        if self.height % 32 or self.width % 32:
+            raise ValueError("height and width must be multiples of 32 "
+                             f"(got {self.height}x{self.width})")
+        if self.depth_supervision_only and not self.depth_supervision:
+            raise ValueError("depth_supervision_only requires depth_supervision")
+
+
+# The published configuration (reference: train_supervised_GT.sh).
+PUBLISHED = Config()
+
+# Ablation graph configs from the final presentation (BASELINE.md).
+RGB_ONLY = Config(augment_xolp=False, augment_normals=False,
+                  model_name="ABLATIONS_rgb")
+RGB_XOLP = Config(augment_normals=False, model_name="ABLATIONS_rgb_xolp")
+RGB_NORMALS = Config(augment_xolp=False, model_name="ABLATIONS_rgb_normals")
+TRI_ENCODER = Config(model_name="ABLATIONS_rgb_xolp_normals")

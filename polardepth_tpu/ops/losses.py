@@ -1,0 +1,100 @@
+"""Loss zoo: supervised depth, normals cosine, smoothness, SSIM, BerHu,
+reprojection.
+
+Reference locations: masked L1 depth + normals loss assembly
+(trainer.py:1241-1252, 1298-1309), edge-aware smoothness
+(layers.py:452-465), SSIM (layers.py:468-499), BerHu (layers.py:14-59),
+photometric reprojection 0.85*SSIM + 0.15*L1 (trainer.py:1069-1081).
+
+All functions take NHWC tensors and return scalars (or per-pixel maps where
+the reference does), fully fused under jit.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from polardepth_tpu.ops.normals import depth_to_normals
+
+
+def masked_l1_depth_loss(depth_gt: jnp.ndarray, depth_pred: jnp.ndarray,
+                         mask: jnp.ndarray) -> jnp.ndarray:
+    """sum(|gt - pred| * mask) / sum(mask)  (trainer.py:1247)."""
+    mask = mask.astype(depth_pred.dtype)
+    return jnp.sum(jnp.abs(depth_gt - depth_pred) * mask) / jnp.sum(mask)
+
+
+def supervised_normals_loss(depth_gt: jnp.ndarray, depth_pred: jnp.ndarray,
+                            K: jnp.ndarray, mask: jnp.ndarray,
+                            eps: float = 1e-8) -> jnp.ndarray:
+    """Masked mean of (2 - cos_sim(normals(gt), normals(pred)))
+    (trainer.py:1298-1309).  cos_sim uses torch F.cosine_similarity
+    semantics: dot / (max(|a|, eps) * max(|b|, eps))."""
+    n_gt = depth_to_normals(depth_gt, K[:, :3, :3])
+    n_pred = depth_to_normals(depth_pred, K[:, :3, :3])
+    dot = jnp.sum(n_gt * n_pred, axis=-1, keepdims=True)
+    na = jnp.linalg.norm(n_gt, axis=-1, keepdims=True)
+    nb = jnp.linalg.norm(n_pred, axis=-1, keepdims=True)
+    cos = dot / (jnp.maximum(na, eps) * jnp.maximum(nb, eps))
+    mask = mask.astype(depth_pred.dtype)
+    return jnp.sum((2.0 - cos) * mask) / jnp.sum(mask)
+
+
+def smooth_loss(disp: jnp.ndarray, img: jnp.ndarray) -> jnp.ndarray:
+    """Edge-aware first-order disparity smoothness (layers.py:452-465).
+    disp: (B,H,W,1); img: (B,H,W,3) at the same scale."""
+    grad_disp_x = jnp.abs(disp[:, :, :-1, :] - disp[:, :, 1:, :])
+    grad_disp_y = jnp.abs(disp[:, :-1, :, :] - disp[:, 1:, :, :])
+    grad_img_x = jnp.mean(jnp.abs(img[:, :, :-1, :] - img[:, :, 1:, :]),
+                          axis=-1, keepdims=True)
+    grad_img_y = jnp.mean(jnp.abs(img[:, :-1, :, :] - img[:, 1:, :, :]),
+                          axis=-1, keepdims=True)
+    grad_disp_x = grad_disp_x * jnp.exp(-grad_img_x)
+    grad_disp_y = grad_disp_y * jnp.exp(-grad_img_y)
+    return jnp.mean(grad_disp_x) + jnp.mean(grad_disp_y)
+
+
+def _avg_pool3(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3/stride-1 average pool on reflection-padded input == the
+    reference's ReflectionPad2d(1) + AvgPool2d(3, 1)."""
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    out = (xp[:, :-2, :-2] + xp[:, :-2, 1:-1] + xp[:, :-2, 2:] +
+           xp[:, 1:-1, :-2] + xp[:, 1:-1, 1:-1] + xp[:, 1:-1, 2:] +
+           xp[:, 2:, :-2] + xp[:, 2:, 1:-1] + xp[:, 2:, 2:])
+    return out / 9.0
+
+
+def ssim(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel (1 - SSIM)/2 clamped to [0, 1] (layers.py:468-499)."""
+    c1 = 0.01 ** 2
+    c2 = 0.03 ** 2
+    mu_x = _avg_pool3(x)
+    mu_y = _avg_pool3(y)
+    sigma_x = _avg_pool3(x * x) - mu_x * mu_x
+    sigma_y = _avg_pool3(y * y) - mu_y * mu_y
+    sigma_xy = _avg_pool3(x * y) - mu_x * mu_y
+    ssim_n = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
+    ssim_d = (mu_x ** 2 + mu_y ** 2 + c1) * (sigma_x + sigma_y + c2)
+    return jnp.clip((1.0 - ssim_n / ssim_d) * 0.5, 0.0, 1.0)
+
+
+def reprojection_loss(pred: jnp.ndarray, target: jnp.ndarray,
+                      use_ssim: bool = True) -> jnp.ndarray:
+    """Per-pixel photometric loss, channel-averaged to (B,H,W,1)
+    (trainer.py:1069-1081)."""
+    l1 = jnp.mean(jnp.abs(target - pred), axis=-1, keepdims=True)
+    if not use_ssim:
+        return l1
+    s = jnp.mean(ssim(pred, target), axis=-1, keepdims=True)
+    return 0.85 * s + 0.15 * l1
+
+
+def berhu_loss(pred: jnp.ndarray, gt: jnp.ndarray,
+               threshold: float = 0.2) -> jnp.ndarray:
+    """Reverse-Huber loss map (layers.py:14-59; defined but unused in the
+    published config — kept for capability parity)."""
+    huber_c = threshold * jnp.max(pred - gt)
+    diff = jnp.abs(pred - gt)
+    diff2 = jnp.where(diff > huber_c, diff, 0.0) ** 2
+    return jnp.mean(jnp.concatenate([diff, diff2], axis=-1), axis=-1,
+                    keepdims=True)

@@ -1,0 +1,29 @@
+"""Test env: force CPU JAX with 8 virtual devices so sharding/multichip tests
+run without TPU hardware (the standard JAX substitute for a fake cluster).
+
+Some site plugins import jax before this conftest runs, so besides setting the
+env vars we also reconfigure jax directly — that works as long as the backend
+has not been initialised yet (first device call), which is the case at pytest
+collection time.  x64 is enabled so float64 parity tests against scipy/numpy
+oracles are meaningful; ops take their dtype from inputs, so float32 behaviour
+is still exercised by passing float32 arrays.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_ENABLE_X64"] = "1"
+
+if "jax" in sys.modules:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+else:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
