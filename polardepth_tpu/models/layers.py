@@ -1,0 +1,155 @@
+"""Convolutional building blocks shared by the model zoo.
+
+Mirrors the behaviour of the reference's layer classes — reflection-padded
+convs + ELU for the decoder (manydepth/layers.py:329-380) and
+Conv+BN+ReLU+Pool+Dropout blocks for the pre-encoders
+(manydepth/networks/pre_encoders.py:8-46) — with torch-matching default
+parameter initialisation so training dynamics are comparable from step 0.
+
+All modules are NHWC.  BatchNorm uses batch statistics of the *global* batch
+when the step is jit-sharded over a data mesh (XLA inserts the cross-device
+reduction), which exactly reproduces the reference's single-device BN
+semantics at any device count — stronger than torch DDP's per-device BN.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """torch nn.Conv2d default: kaiming_uniform(a=sqrt(5)) ==
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)) with fan_in = kh*kw*in_ch.
+    Flax kernel shape is (kh, kw, in, out)."""
+    fan_in = shape[0] * shape[1] * shape[2]
+    bound = math.sqrt(1.0 / fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_conv_bias_init(fan_in: int) -> Callable:
+    """torch nn.Conv2d default bias: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = math.sqrt(1.0 / fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def resnet_kernel_init(key, shape, dtype=jnp.float32):
+    """torchvision ResNet init: kaiming_normal(mode=fan_out,
+    nonlinearity=relu) == N(0, sqrt(2/fan_out)), fan_out = kh*kw*out_ch."""
+    fan_out = shape[0] * shape[1] * shape[3]
+    std = math.sqrt(2.0 / fan_out)
+    return std * jax.random.normal(key, shape, dtype)
+
+
+class TorchConv(nn.Module):
+    """nn.Conv with torch-default initialisation and integer zero padding."""
+
+    features: int
+    kernel_size: int
+    strides: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    kernel_init: Callable = torch_conv_kernel_init
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = self.kernel_size * self.kernel_size * x.shape[-1]
+        return nn.Conv(
+            self.features, (self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            padding=[(self.padding, self.padding)] * 2,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            bias_init=torch_conv_bias_init(fan_in),
+            dtype=x.dtype,
+        )(x)
+
+
+class ReflectConv(nn.Module):
+    """Reflection-pad + VALID conv (reference Conv3x3/Conv5x5,
+    layers.py:345-380)."""
+
+    features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.kernel_size // 2
+        x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+        fan_in = self.kernel_size * self.kernel_size * x.shape[-1]
+        return nn.Conv(
+            self.features, (self.kernel_size, self.kernel_size),
+            padding="VALID",
+            kernel_init=torch_conv_kernel_init,
+            bias_init=torch_conv_bias_init(fan_in),
+            dtype=x.dtype,
+        )(x)
+
+
+class ConvBlockELU(nn.Module):
+    """ReflectConv3x3 + ELU — the decoder block (layers.py:329-342)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.elu(ReflectConv(self.features, 3)(x))
+
+
+def _batch_norm(x, train: bool):
+    """torch BatchNorm2d defaults: eps=1e-5, momentum=0.1 (flax: 0.9)."""
+    return nn.BatchNorm(
+        use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        dtype=x.dtype)(x)
+
+
+class ConvBNReLUDrop(nn.Module):
+    """Conv -> BN -> ReLU -> [pool] -> Dropout — the pre-encoder ConvBlock
+    (pre_encoders.py:8-34).  downsampling: 'none' | 'maxpool' | 'avgpool' |
+    'stride2' (stride applied in the conv itself)."""
+
+    features: int
+    kernel_size: int
+    downsampling: str = "none"
+    padding: int = 0
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        stride = 2 if self.downsampling == "stride2" else 1
+        x = TorchConv(self.features, self.kernel_size, strides=stride,
+                      padding=self.padding)(x)
+        x = _batch_norm(x, train)
+        x = nn.relu(x)
+        if self.downsampling == "maxpool":
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        elif self.downsampling == "avgpool":
+            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        return x
+
+
+class ResidualBlock(nn.Module):
+    """Two ConvBNReLUDrop blocks with an additive skip
+    (pre_encoders.py:36-46)."""
+
+    features: int
+    kernel_size: int = 3
+    padding: int = 1
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out = ConvBNReLUDrop(self.features, self.kernel_size, "none",
+                             self.padding, self.dropout_rate)(x, train)
+        out = ConvBNReLUDrop(self.features, self.kernel_size, "none",
+                             self.padding, self.dropout_rate)(out, train)
+        return out + x

@@ -1,0 +1,109 @@
+"""XOLP / normals shallow encoders and the JointEncoder fusion trunk.
+
+Reference: manydepth/networks/pre_encoders.py:49-164.  Key TPU-native change:
+the Fresnel normal priors are computed *inside the jitted graph* by fused
+device ops (polardepth_tpu.ops.fresnel) instead of the reference's mid-forward
+GPU->CPU->GPU scipy round-trip (normals_vec.py:12,21,26).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from polardepth_tpu.models.layers import ConvBNReLUDrop, ResidualBlock
+from polardepth_tpu.ops.fresnel import normal_priors_from_xolp
+
+# Precomputed XOLP standardization constants over 46 HAMMER sample maps
+# (reference: polarisation/xolp_mean_and_std_dev.py, used at
+# pre_encoders.py:79).
+XOLP_MEAN = 0.08693199701957657
+XOLP_STD = 0.44430732785457433
+
+
+def normalize_input(x: jnp.ndarray, mode: str) -> jnp.ndarray:
+    """Static per-modality standardization (pre_encoders.py:75-83)."""
+    if mode == "XOLP":
+        return (x - XOLP_MEAN) / XOLP_STD
+    if mode == "normals":
+        return x
+    if mode == "RGB":
+        return (x - 0.45) / 0.225
+    raise ValueError(f"unknown normalization mode: {mode}")
+
+
+class ShallowEncoder(nn.Module):
+    """Conv7/2 -> Res -> Conv5+maxpool -> Res -> Conv5+maxpool -> Res.
+
+    (B, H, W, C) -> (B, H/8, W/8, 64).  mode selects the input
+    standardization ('XOLP' for the 2-channel DoLP/AoLP map).
+    """
+
+    mode: str = "XOLP"
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dropout_rate
+        x = normalize_input(x, self.mode)
+        x = ConvBNReLUDrop(64, 7, "stride2", 3, d)(x, train)
+        x = ResidualBlock(64, 3, 1, d)(x, train)
+        x = ConvBNReLUDrop(64, 5, "maxpool", 2, d)(x, train)
+        x = ResidualBlock(64, 3, 1, d)(x, train)
+        x = ConvBNReLUDrop(64, 5, "maxpool", 2, d)(x, train)
+        x = ResidualBlock(64, 3, 1, d)(x, train)
+        return x
+
+
+class ShallowNormalsEncoder(nn.Module):
+    """XOLP (B,H,W,2) -> 9-channel Fresnel priors -> ShallowEncoder.
+
+    The physics (diffuse + two specular interpretations, n=1.5) runs fused
+    on-device; see ops/fresnel.py.  Reference: pre_encoders.py:85-113.
+    """
+
+    dropout_rate: float = 0.1
+    refraction_index: float = 1.5
+
+    @nn.compact
+    def __call__(self, xolp, train: bool = False):
+        normals = normal_priors_from_xolp(xolp, self.refraction_index)
+        normals = normals.astype(xolp.dtype)
+        return ShallowEncoder("normals", self.dropout_rate)(normals, train)
+
+
+class JointEncoder(nn.Module):
+    """Fusion trunk over concatenated modality features.
+
+    Input: rgb (B,H/8,W/8,128) [+ xolp 64] [+ normals 64] -> two deepest
+    pyramid levels [(B,H/16,W/16,256), (B,H/32,W/32,512)] so that
+    rgb_feats(3) + joint(2) matches the 5-level decoder contract.
+    Reference: pre_encoders.py:116-164.
+    """
+
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, rgb_feats, xolp_feats=None, normals_feats=None,
+                 train: bool = False):
+        d = self.dropout_rate
+        feats = [rgb_feats]
+        if xolp_feats is not None:
+            feats.append(xolp_feats)
+        if normals_feats is not None:
+            feats.append(normals_feats)
+        x = jnp.concatenate(feats, axis=-1) if len(feats) > 1 else feats[0]
+        x = ConvBNReLUDrop(256, 1, "none", 0, d)(x, train)   # fc1
+        x = ConvBNReLUDrop(128, 1, "none", 0, d)(x, train)   # fc2
+        x = ResidualBlock(128, 3, 1, d)(x, train)
+        x = ResidualBlock(128, 3, 1, d)(x, train)
+        x = ConvBNReLUDrop(256, 5, "maxpool", 2, d)(x, train)
+        x = ResidualBlock(256, 3, 1, d)(x, train)
+        x = ResidualBlock(256, 3, 1, d)(x, train)
+        out16 = x
+        x = ConvBNReLUDrop(512, 5, "maxpool", 2, d)(x, train)
+        x = ResidualBlock(512, 3, 1, d)(x, train)
+        x = ResidualBlock(512, 3, 1, d)(x, train)
+        return [out16, x]
