@@ -30,6 +30,11 @@ def compute_depth_errors(gt: jnp.ndarray, pred: jnp.ndarray,
         w = jnp.ones_like(gt)
     else:
         w = mask.astype(gt.dtype)
+        # Neutralize masked-out pixels *before* log/divide so 0 * inf never
+        # poisons the weighted sums (gt=0 outside the valid range is common).
+        one = jnp.ones_like(gt)
+        gt = jnp.where(w > 0, gt, one)
+        pred = jnp.where(w > 0, pred, one)
     denom = jnp.sum(w)
 
     def wmean(x):

@@ -1,0 +1,42 @@
+"""Mesh construction and sharding specs for the data-parallel train step."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(shape: Sequence[int] = (-1,),
+                axis_names: Sequence[str] = ("data",),
+                devices: Optional[list] = None) -> Mesh:
+    """Build a Mesh over the available devices.
+
+    shape: per-axis sizes; a single -1 axis absorbs all remaining devices.
+    Default: all devices on one 'data' axis.
+    """
+    devices = devices if devices is not None else jax.devices()
+    shape = list(shape)
+    known = int(np.prod([s for s in shape if s != -1])) if shape else 1
+    if -1 in shape:
+        shape[shape.index(-1)] = len(devices) // max(known, 1)
+    n = int(np.prod(shape))
+    dev_array = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(dev_array, tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension across the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
+    """device_put a host batch dict with the batch dim split over the mesh."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

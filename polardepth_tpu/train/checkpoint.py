@@ -1,0 +1,126 @@
+"""Checkpointing: one Orbax-managed train-state pytree + per-component export.
+
+The reference saves per-component .pth files (rgb_encoder.pth,
+mono_depth.pth, ..., adam.pth) once per epoch with no mid-epoch resume
+(trainer.py:1586-1691).  Here the whole TrainState (params, BN stats, Adam
+moments, step) is checkpointed atomically at any step; `export_components`
+additionally writes per-component .npz files keyed by flattened parameter
+paths for interop/inspection, mirroring the reference's component layout.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import jax
+
+from polardepth_tpu.config import Config
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+    return ocp.PyTreeCheckpointer()
+
+
+def save(directory: str, state, cfg: Optional[Config] = None,
+         step: Optional[int] = None) -> str:
+    """Write the full train state under directory/step_<N>."""
+    step = int(state.step) if step is None else step
+    path = os.path.abspath(os.path.join(directory, f"step_{step}"))
+    tree = {"params": state.params, "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state, "step": state.step}
+    _checkpointer().save(path, tree, force=True)
+    if cfg is not None:
+        with open(os.path.join(directory, "config.json"), "w") as f:
+            f.write(cfg.to_json())
+    return path
+
+
+def restore(path: str, state):
+    """Restore into an existing (abstract or concrete) state template."""
+    tree = {"params": state.params, "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state, "step": state.step}
+    restored = _checkpointer().restore(os.path.abspath(path), item=tree)
+    return state.replace(params=restored["params"],
+                         batch_stats=restored["batch_stats"],
+                         opt_state=restored["opt_state"],
+                         step=restored["step"])
+
+
+def latest_step_dir(directory: str) -> Optional[str]:
+    if not os.path.isdir(directory):
+        return None
+    steps = []
+    for d in os.listdir(directory):
+        if d.startswith("step_"):
+            try:
+                steps.append((int(d.split("_", 1)[1]), d))
+            except ValueError:
+                pass
+    if not steps:
+        return None
+    return os.path.join(directory, max(steps)[1])
+
+
+def export_components(directory: str, state) -> list[str]:
+    """Per-component .npz export matching the reference's component split
+    (rgb_encoder / xolp_encoder / normals_encoder / joint_encoder /
+    mono_depth; trainer.py:1597-1617)."""
+    os.makedirs(directory, exist_ok=True)
+    written = []
+    flat_stats = dict(jax.tree_util.tree_flatten_with_path(
+        state.batch_stats)[0]) if state.batch_stats else {}
+    for component, tree in state.params.items():
+        arrays = {}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            key = "/".join(str(getattr(p, "key", p)) for p in path)
+            arrays[key] = np.asarray(leaf)
+        if state.batch_stats and component in state.batch_stats:
+            for path, leaf in jax.tree_util.tree_flatten_with_path(
+                    state.batch_stats[component])[0]:
+                key = "stats/" + "/".join(str(getattr(p, "key", p))
+                                          for p in path)
+                arrays[key] = np.asarray(leaf)
+        out = os.path.join(directory, f"{component}.npz")
+        np.savez(out, **arrays)
+        written.append(out)
+    return written
+
+
+def import_components(directory: str, state):
+    """Load per-component .npz exports back into a state (shape-checked)."""
+    params = jax.device_get(state.params)
+    stats = jax.device_get(state.batch_stats)
+    for component in list(params.keys()):
+        path = os.path.join(directory, f"{component}.npz")
+        if not os.path.isfile(path):
+            continue
+        raw = dict(np.load(path))
+
+        def rebuild(tree, prefix=""):
+            out = {}
+            for k, v in tree.items():
+                key = f"{prefix}{k}"
+                if isinstance(v, dict):
+                    out[k] = rebuild(v, key + "/")
+                else:
+                    arr = raw[key]
+                    assert arr.shape == v.shape, (component, key)
+                    out[k] = arr
+            return out
+
+        params[component] = rebuild(params[component])
+        if stats and component in stats:
+            def rebuild_stats(tree, prefix="stats/"):
+                out = {}
+                for k, v in tree.items():
+                    key = f"{prefix}{k}"
+                    if isinstance(v, dict):
+                        out[k] = rebuild_stats(v, key + "/")
+                    else:
+                        out[k] = raw[key]
+                return out
+            stats[component] = rebuild_stats(stats[component])
+    return state.replace(params=params, batch_stats=stats)

@@ -1,0 +1,120 @@
+"""Supervised loss assembly + the device-side batch preprocessing.
+
+Loss structure reproduces the published configuration's per-scale losses
+(reference trainer.py:1126-1296 with depth_supervision_only):
+
+  for each scale s in scales:
+    disp_s -> bilinear upsample to full res -> disp_to_depth -> depth_s
+    mask   = (min_depth <= depth_sup <= max_depth)
+    loss_s = masked-L1(depth_sup, depth_s)
+           + normals_loss_weight * masked mean(2 - cos_sim(normals(gt),
+                                                           normals(pred)))
+           + disparity_smoothness / 2^s * edge-aware-smoothness(
+                 disp_s / mean(disp_s), color at scale s)
+  total = mean over scales
+
+preprocess_batch is part of the jitted step: uint8 -> float conversion, the
+native->working-resolution resizes, and the color pyramid all run on device.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from polardepth_tpu.config import Config
+from polardepth_tpu.ops.depth import disp_to_depth
+from polardepth_tpu.ops.losses import (
+    masked_l1_depth_loss, supervised_normals_loss, smooth_loss,
+)
+from polardepth_tpu.ops.resize import (
+    resize_bilinear, resize_nearest, resize_antialias,
+)
+
+
+def preprocess_batch(batch: dict, cfg: Config, dtype=jnp.float32) -> dict:
+    """Raw host batch (uint8/uint16-ish, possibly native resolution) ->
+    model-ready device tensors at (cfg.height, cfg.width).
+
+    The reference does all of this in DataLoader workers with PIL/cv2
+    (indoor_dataset.py:277-428); here it is fused into the jit graph.
+    """
+    h, w = cfg.height, cfg.width
+    out = dict(batch)
+
+    color = batch["color"].astype(dtype) / 255.0
+    if color.shape[1:3] != (h, w):
+        color = resize_antialias(color, (h, w))
+    out["color"] = color
+
+    pol = batch["pol"].astype(dtype)  # keep the 0..255 scale for XOLP
+    if pol.shape[1:3] != (h, w):
+        pol = resize_antialias(pol, (h, w))
+    out["pol"] = pol
+
+    for k in ("depth", "depth_gt"):
+        if k in batch:
+            d = batch[k].astype(dtype)
+            if d.shape[1:3] != (h, w):
+                # effective reference behaviour is bilinear (see data/hammer.py)
+                d = resize_bilinear(d, (h, w))
+            out[k] = d
+
+    if "mask" in batch:
+        m = batch["mask"]
+        if m.shape[1:3] != (h, w):
+            m = resize_nearest(m, (h, w))
+        out["mask"] = m
+
+    return out
+
+
+def color_pyramid(color: jnp.ndarray, scales) -> Dict[int, jnp.ndarray]:
+    """Clean-color pyramid for the smoothness loss (the reference builds it
+    with successive PIL resizes; anti-aliased linear is the device analog)."""
+    pyr = {}
+    for s in scales:
+        if s == 0:
+            pyr[s] = color
+        else:
+            _, h, w, _ = color.shape
+            pyr[s] = resize_antialias(color, (h // 2 ** s, w // 2 ** s))
+    return pyr
+
+
+def supervised_losses(cfg: Config, outputs: dict, batch: dict) -> tuple:
+    """Returns (total_loss, logs dict).  `outputs` holds ("disp", s) maps;
+    `batch` must be preprocessed (working resolution, float)."""
+    h, w = cfg.height, cfg.width
+    depth_sup = batch["depth"]
+    valid = ((depth_sup >= cfg.min_depth) &
+             (depth_sup <= cfg.max_depth)).astype(depth_sup.dtype)
+    pyr = color_pyramid(batch["color"], cfg.scales)
+
+    logs = {}
+    total = 0.0
+    for s in cfg.scales:
+        disp = outputs[("disp", s)]
+        disp_full = resize_bilinear(disp, (h, w)) if s else disp
+        _, depth = disp_to_depth(disp_full, cfg.min_depth, cfg.max_depth)
+
+        l_depth = masked_l1_depth_loss(depth_sup, depth, valid)
+        l_normals = supervised_normals_loss(depth_sup, depth, batch["K"], valid)
+
+        mean_disp = jnp.mean(disp, axis=(1, 2), keepdims=True)
+        norm_disp = disp / (mean_disp + 1e-7)
+        l_smooth = smooth_loss(norm_disp, pyr[s])
+
+        loss_s = (l_depth + cfg.normals_loss_weight * l_normals
+                  + cfg.disparity_smoothness * l_smooth / (2 ** s))
+        total = total + loss_s
+        logs[f"supervised_depth_loss/{s}"] = l_depth
+        logs[f"normals_loss/{s}"] = l_normals
+        logs[f"smooth_loss/{s}"] = l_smooth
+        logs[f"loss/{s}"] = loss_s
+
+    total = total / cfg.num_scales
+    logs["loss"] = total
+    return total, logs

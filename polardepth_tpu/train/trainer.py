@@ -1,0 +1,216 @@
+"""Trainer: jit-compiled, mesh-sharded supervised training loop.
+
+Replaces the reference's god-object Trainer (manydepth/trainer.py:73-1691)
+with a thin orchestrator around three pure jitted functions:
+
+  train_step(state, batch, rng) -> (state, logs)     [donated state]
+  eval_step(state, batch)       -> per-material metric pytree
+  infer_step(state, batch)      -> full-res depth
+
+Parallelism: batches are device_put with the batch axis split over
+Mesh('data'); the state is replicated.  XLA partitions the step and inserts
+the gradient all-reduce over ICI — no hand-written communication (the
+reference is single-device only, SURVEY §2.8).  BatchNorm reduces over the
+global batch, reproducing single-device reference semantics exactly at any
+device count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Iterable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from polardepth_tpu.config import Config
+from polardepth_tpu.data.augment import color_jitter
+from polardepth_tpu.eval.evaluation import (
+    eval_step_metrics, MetricAccumulator, format_table,
+)
+from polardepth_tpu.models.network import PolarDepthNet
+from polardepth_tpu.ops.depth import disp_to_depth
+from polardepth_tpu.parallel.mesh import (
+    create_mesh, batch_sharding, replicated_sharding,
+)
+from polardepth_tpu.train.losses import preprocess_batch, supervised_losses
+from polardepth_tpu.train.state import (
+    TrainState, create_train_state, step_lr_schedule,
+)
+
+TRAIN_BATCH_KEYS = ("color", "pol", "depth", "K")
+EVAL_BATCH_KEYS = ("color", "pol", "depth_gt", "mask")
+
+
+def build_model(cfg: Config) -> PolarDepthNet:
+    return PolarDepthNet(
+        augment_xolp=cfg.augment_xolp,
+        augment_normals=cfg.augment_normals,
+        dropout_rate=cfg.dropout_rate,
+        scales=tuple(cfg.scales),
+        refraction_index=cfg.refraction_index,
+    )
+
+
+def make_train_step(model: PolarDepthNet, cfg: Config):
+    needs_pol = cfg.augment_xolp or cfg.augment_normals
+
+    def step(state: TrainState, batch: dict, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        k_aug, k_drop = jax.random.split(rng)
+        pb = preprocess_batch(batch, cfg)
+        color_aug = color_jitter(k_aug, pb["color"])
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            outputs, mut = model.apply(
+                variables, color_aug,
+                pol=pb["pol"] if needs_pol else None,
+                train=True, rngs={"dropout": k_drop},
+                mutable=["batch_stats"])
+            loss, logs = supervised_losses(cfg, outputs, pb)
+            return loss, (logs, mut)
+
+        grads, (logs, mut) = jax.grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(
+            grads=grads, batch_stats=mut["batch_stats"])
+        return new_state, logs
+
+    return step
+
+
+def make_eval_step(model: PolarDepthNet, cfg: Config):
+    needs_pol = cfg.augment_xolp or cfg.augment_normals
+
+    def step(state: TrainState, batch: dict):
+        pb = preprocess_batch(batch, cfg)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        outputs = model.apply(
+            variables, pb["color"],
+            pol=pb["pol"] if needs_pol else None, train=False)
+        _, depth = disp_to_depth(outputs[("disp", 0)], cfg.min_depth,
+                                 cfg.max_depth)
+        pred = jnp.clip(depth, cfg.min_depth, cfg.max_depth)
+        return eval_step_metrics(pb["depth_gt"], pred, pb["mask"],
+                                 cfg.min_depth, cfg.max_depth)
+
+    return step
+
+
+def make_infer_step(model: PolarDepthNet, cfg: Config):
+    needs_pol = cfg.augment_xolp or cfg.augment_normals
+
+    def step(state: TrainState, batch: dict):
+        pb = preprocess_batch(batch, cfg)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        outputs = model.apply(
+            variables, pb["color"],
+            pol=pb["pol"] if needs_pol else None, train=False)
+        _, depth = disp_to_depth(outputs[("disp", 0)], cfg.min_depth,
+                                 cfg.max_depth)
+        return jnp.clip(depth, cfg.min_depth, cfg.max_depth)
+
+    return step
+
+
+class Trainer:
+    def __init__(self, cfg: Config, steps_per_epoch: int,
+                 mesh=None, log_fn=print):
+        cfg.validate()
+        self.cfg = cfg
+        self.log = log_fn
+        self.mesh = mesh if mesh is not None else create_mesh(cfg.mesh_shape)
+        self.model = build_model(cfg)
+        self.rng = jax.random.PRNGKey(cfg.seed)
+        self.steps_per_epoch = steps_per_epoch
+
+        schedule = step_lr_schedule(
+            cfg.learning_rate, steps_per_epoch, cfg.scheduler_step_size,
+            cfg.scheduler_gamma, cfg.num_epochs)
+        init_rng, self.rng = jax.random.split(self.rng)
+        h, w = cfg.height, cfg.width
+        example = {
+            "color": jnp.zeros((1, h, w, 3), jnp.float32),
+            "pol": (jnp.zeros((1, h, w, 4), jnp.float32)
+                    if (cfg.augment_xolp or cfg.augment_normals) else None),
+        }
+        self.state = create_train_state(
+            self.model, {"params": init_rng, "dropout": init_rng},
+            example, schedule)
+        # Replicate state over the mesh; batches are split on 'data'.
+        repl = replicated_sharding(self.mesh)
+        self.state = jax.device_put(self.state, repl)
+        self.batch_sharding = batch_sharding(self.mesh)
+
+        self._train_step = jax.jit(make_train_step(self.model, cfg),
+                                   donate_argnums=(0,) if cfg.donate_state
+                                   else ())
+        self._eval_step = jax.jit(make_eval_step(self.model, cfg))
+        self._infer_step = jax.jit(make_infer_step(self.model, cfg))
+        self.epoch = 0
+
+    # -- data placement -------------------------------------------------------
+
+    def _shard(self, batch: dict, keys) -> dict:
+        out = {}
+        for k in keys:
+            if k in batch:
+                out[k] = jax.device_put(batch[k], self.batch_sharding)
+        return out
+
+    # -- public API -----------------------------------------------------------
+
+    def train_epoch(self, batches: Iterable[dict]) -> dict:
+        """One pass over `batches`; returns the last step's logs."""
+        logs = {}
+        t0 = time.time()
+        n = 0
+        for batch in batches:
+            db = self._shard(batch, TRAIN_BATCH_KEYS)
+            self.state, logs = self._train_step(self.state, db, self.rng)
+            n += 1
+        if n:
+            logs = {k: float(v) for k, v in logs.items()}
+            dt = time.time() - t0
+            logs["examples_per_sec"] = n * self.cfg.batch_size / max(dt, 1e-9)
+        self.epoch += 1
+        return logs
+
+    def evaluate(self, batches: Iterable[dict]) -> dict:
+        """Full per-material metric table (reference Trainer.test /
+        Evaluation.test)."""
+        acc = MetricAccumulator()
+        for batch in batches:
+            db = self._shard(batch, EVAL_BATCH_KEYS)
+            acc.update(jax.device_get(self._eval_step(self.state, db)))
+        results = acc.result()
+        self.log(format_table(results))
+        return results
+
+    def predict(self, batch: dict) -> np.ndarray:
+        db = self._shard(batch, EVAL_BATCH_KEYS)
+        return np.asarray(self._infer_step(self.state, db))
+
+    def fit(self, train_batches_fn, eval_batches_fn=None,
+            num_epochs: Optional[int] = None,
+            checkpoint_dir: Optional[str] = None) -> dict:
+        """Run the reference's train() protocol: evaluate before epoch 0,
+        then per-epoch train + periodic eval/save (trainer.py:379-402)."""
+        from polardepth_tpu.train import checkpoint as ckpt
+        num_epochs = num_epochs or self.cfg.num_epochs
+        results = {}
+        if eval_batches_fn is not None:
+            results["initial"] = self.evaluate(eval_batches_fn())
+        for e in range(num_epochs):
+            logs = self.train_epoch(train_batches_fn())
+            self.log(f"epoch {e}: loss={logs.get('loss', float('nan')):.5f} "
+                     f"({logs.get('examples_per_sec', 0):.1f} ex/s)")
+            if (e + 1) % self.cfg.save_frequency == 0:
+                if eval_batches_fn is not None:
+                    results[f"epoch_{e}"] = self.evaluate(eval_batches_fn())
+                if checkpoint_dir:
+                    ckpt.save(checkpoint_dir, self.state, self.cfg)
+        return results

@@ -1,0 +1,121 @@
+"""End-to-end training tests on synthetic data: loss decreases (the
+reference's own overfit smoke-test protocol, options.py:205-212), eval tables,
+checkpoint round-trip, and data-parallel sharding over the 8 virtual devices."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from polardepth_tpu.config import Config
+from polardepth_tpu.data.synthetic import SyntheticHammer
+from polardepth_tpu.parallel.mesh import create_mesh
+from polardepth_tpu.train.trainer import Trainer
+from polardepth_tpu.train import checkpoint as ckpt
+
+H, W = 32, 32
+
+
+def tiny_config(**kw):
+    base = dict(height=H, width=W, batch_size=2, dropout_rate=0.0,
+                num_epochs=2, mesh_shape=(1,), donate_state=False)
+    base.update(kw)
+    return Config(**base)
+
+
+def _gen(cfg, n_batches=2, seed=0):
+    gen = SyntheticHammer(cfg.height, cfg.width, seed=seed)
+    return [gen.batch(cfg.batch_size, start=i * cfg.batch_size)
+            for i in range(n_batches)]
+
+
+@pytest.fixture(scope="module")
+def overfit_setup():
+    cfg = tiny_config()
+    trainer = Trainer(cfg, steps_per_epoch=1, log_fn=lambda *_: None)
+    batch = _gen(cfg, 1)[0]
+    return cfg, trainer, batch
+
+
+def test_overfit_single_batch_loss_decreases(overfit_setup):
+    cfg, trainer, batch = overfit_setup
+    losses = []
+    for _ in range(8):
+        logs = trainer.train_epoch([batch])
+        losses.append(logs["loss"])
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_eval_produces_material_table(overfit_setup):
+    cfg, trainer, batch = overfit_setup
+    results = trainer.evaluate([batch])
+    assert "all" in results and "glass" in results and "objects" in results
+    assert results["all"]["frames"] == cfg.batch_size
+    for m in ("abs_rel", "rmse", "a1"):
+        assert np.isfinite(results["all"][m])
+    # a1 is a fraction
+    assert 0.0 <= results["all"]["a1"] <= 1.0
+
+
+def test_predict_shape_and_range(overfit_setup):
+    cfg, trainer, batch = overfit_setup
+    depth = trainer.predict(batch)
+    assert depth.shape == (cfg.batch_size, H, W, 1)
+    assert depth.min() >= cfg.min_depth - 1e-5
+    assert depth.max() <= cfg.max_depth + 1e-5
+
+
+def test_checkpoint_roundtrip(tmp_path, overfit_setup):
+    cfg, trainer, batch = overfit_setup
+    path = ckpt.save(str(tmp_path), trainer.state, cfg)
+    pred_before = trainer.predict(batch)
+    # clone trainer, restore, verify identical predictions
+    t2 = Trainer(cfg, steps_per_epoch=1, log_fn=lambda *_: None)
+    t2.state = ckpt.restore(path, t2.state)
+    np.testing.assert_allclose(t2.predict(batch), pred_before,
+                               rtol=1e-5, atol=1e-6)
+    assert ckpt.latest_step_dir(str(tmp_path)) == path
+
+
+def test_component_export_import(tmp_path, overfit_setup):
+    cfg, trainer, batch = overfit_setup
+    comp_dir = str(tmp_path / "components")
+    files = ckpt.export_components(comp_dir, trainer.state)
+    names = {f.split("/")[-1] for f in files}
+    assert {"rgb_encoder.npz", "xolp_encoder.npz", "normals_encoder.npz",
+            "joint_encoder.npz", "mono_depth.npz"} <= names
+    t2 = Trainer(cfg, steps_per_epoch=1, log_fn=lambda *_: None)
+    t2.state = ckpt.import_components(comp_dir, t2.state)
+    np.testing.assert_allclose(t2.predict(batch), trainer.predict(batch),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_rgb_only_config_trains():
+    cfg = tiny_config(augment_xolp=False, augment_normals=False)
+    trainer = Trainer(cfg, steps_per_epoch=1, log_fn=lambda *_: None)
+    batch = _gen(cfg, 1)[0]
+    logs = trainer.train_epoch([batch])
+    assert np.isfinite(logs["loss"])
+    assert "xolp_encoder" not in trainer.state.params
+
+
+def test_data_parallel_8_devices_matches_single_device():
+    """The same batch must give the same loss on a 1-device and an 8-device
+    mesh (BN/statistics are global-batch under sharding)."""
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    cfg = tiny_config(batch_size=8)
+    batch = _gen(cfg, 1)[0]
+
+    t1 = Trainer(cfg, steps_per_epoch=1, mesh=create_mesh((1,)),
+                 log_fn=lambda *_: None)
+    t8 = Trainer(cfg, steps_per_epoch=1, mesh=create_mesh((8,)),
+                 log_fn=lambda *_: None)
+    l1 = t1.train_epoch([batch])["loss"]
+    l8 = t8.train_epoch([batch])["loss"]
+    np.testing.assert_allclose(l1, l8, rtol=1e-4)
+    # parameters after the step agree too
+    p1 = jax.tree_util.tree_leaves(jax.device_get(t1.state.params))
+    p8 = jax.tree_util.tree_leaves(jax.device_get(t8.state.params))
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
