@@ -1,0 +1,119 @@
+"""Benchmark: frames/sec/chip for preprocess+inference at 512 px.
+
+North-star metric from BASELINE.json: end-to-end preprocessing-to-prediction
+(4 raw polarizer captures + RGB -> XOLP -> Fresnel priors -> tri-encoder ->
+depth) as a single jit graph, no host round-trips.  vs_baseline compares
+against the same pipeline executed on the host CPU (the reference's only
+non-CUDA execution mode, --no_cuda), measured in a subprocess.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+H = W = 512
+BATCH = 8
+WARMUP = 3
+ITERS = 20
+
+
+def _make_inputs(batch, h, w):
+    rng = np.random.default_rng(0)
+    return {
+        "color": rng.integers(0, 255, (batch, h, w, 3), dtype=np.uint8),
+        "pol": rng.integers(0, 255, (batch, h, w, 4), dtype=np.uint8),
+    }
+
+
+def measure_fps(iters=ITERS, batch=BATCH, chain=16) -> float:
+    """Amortized steady-state throughput.
+
+    `chain` forward steps are executed inside ONE jit call via lax.scan (each
+    step's input depends on the scan counter so nothing can be elided) and
+    a scalar reduction of every output is read back to the host — timing is
+    therefore end-to-end completion, immune to async-dispatch / RPC-tunnel
+    semantics where block_until_ready returns early.
+    """
+    import jax
+    import jax.numpy as jnp
+    from polardepth_tpu.config import Config
+    from polardepth_tpu.train.trainer import build_model, make_infer_step
+    from polardepth_tpu.train.state import create_train_state
+
+    cfg = Config(height=H, width=W, batch_size=batch, dropout_rate=0.0)
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    example = {"color": jnp.zeros((1, H, W, 3), jnp.float32),
+               "pol": jnp.zeros((1, H, W, 4), jnp.float32)}
+    state = create_train_state(model, {"params": rng, "dropout": rng},
+                               example, 1e-4)
+    infer = make_infer_step(model, cfg)
+
+    @jax.jit
+    def chained(state, b):
+        def body(carry, i):
+            bi = {"color": b["color"] + i.astype(jnp.uint8), "pol": b["pol"]}
+            return carry + jnp.sum(infer(state, bi)), None
+        total, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(chain))
+        return total
+
+    dev_batch = jax.device_put(_make_inputs(batch, H, W))
+    float(chained(state, dev_batch))  # compile + warm
+    times = []
+    for _ in range(max(iters // chain, 3)):
+        t0 = time.perf_counter()
+        float(chained(state, dev_batch))  # readback forces completion
+        times.append(time.perf_counter() - t0)
+    med = sorted(times)[len(times) // 2]
+    return chain * batch / med
+
+
+def main():
+    fps = measure_fps()
+
+    vs_baseline = None
+    cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".bench_cpu_baseline.json")
+    cpu_fps = None
+    if os.path.exists(cache_path):
+        try:
+            cpu_fps = json.load(open(cache_path))["cpu_fps"]
+        except Exception:
+            cpu_fps = None
+    if cpu_fps is None:
+        # Same pipeline on host CPU, in a subprocess so the TPU process
+        # stays clean.
+        code = ("import json,sys; sys.argv=['bench']; "
+                "import bench; print(json.dumps(bench.measure_fps(iters=3, batch=2)))")
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import os; os.environ['JAX_PLATFORMS']='cpu'; "
+                 "import jax; jax.config.update('jax_platforms','cpu'); " + code],
+                capture_output=True, text=True, timeout=1800, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            cpu_fps = float(out.stdout.strip().splitlines()[-1])
+            json.dump({"cpu_fps": cpu_fps}, open(cache_path, "w"))
+        except Exception:
+            cpu_fps = None
+    if cpu_fps:
+        vs_baseline = fps / cpu_fps
+
+    print(json.dumps({
+        "metric": "frames/sec/chip preprocess+inference at 512px",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,8 +44,11 @@ class DepthDecoder(nn.Module):
                 x = jnp.concatenate([x, input_features[i - 1]], axis=-1)
             x = ConvBlockELU(NUM_CH_DEC[i])(x)          # upconv_{i}_1
             if i in self.scales:
-                disp = nn.sigmoid(
-                    ReflectConv(self.num_output_channels, 3)(x))
+                # Disp head runs in float32 regardless of the trunk dtype:
+                # bf16 disparity (~3 significant digits) would quantize depth
+                # by ~0.4%, visible in AbsRel.
+                disp = nn.sigmoid(ReflectConv(self.num_output_channels, 3)(
+                    x.astype(jnp.float32)))
                 outputs[("disp", i)] = disp
                 if self.uncertainty:
                     outputs[("uncertainty", i)] = nn.sigmoid(

@@ -105,10 +105,15 @@ class ConvBlockELU(nn.Module):
 
 
 def _batch_norm(x, train: bool):
-    """torch BatchNorm2d defaults: eps=1e-5, momentum=0.1 (flax: 0.9)."""
-    return nn.BatchNorm(
-        use_running_average=not train, momentum=0.9, epsilon=1e-5,
-        dtype=x.dtype)(x)
+    """torch BatchNorm2d defaults: eps=1e-5, momentum=0.1 (flax: 0.9).
+
+    dtype is left unspecified so flax promotes bf16 activations with the f32
+    scale/bias to an f32 computation (stable statistics); the result is cast
+    back to the activation dtype to keep a bf16 compute chain bf16.
+    """
+    y = nn.BatchNorm(
+        use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+    return y.astype(x.dtype)
 
 
 class ConvBNReLUDrop(nn.Module):

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -36,6 +37,9 @@ class PolarDepthNet(nn.Module):
     dropout_rate: float = 0.1
     scales: Sequence[int] = (0, 1, 2, 3)
     refraction_index: float = 1.5
+    compute_dtype: str = "float32"  # "bfloat16" = MXU fast path; the XOLP
+    # fit, Fresnel inversion and disparity heads always stay float32.
+    use_pallas: bool = True  # fused polar-preprocess kernel on TPU backends
 
     @nn.compact
     def __call__(self, color: jnp.ndarray,
@@ -51,21 +55,34 @@ class PolarDepthNet(nn.Module):
         Returns: {("disp", s): (B, H/2^s, W/2^s, 1)} for s in scales.
         """
         needs_xolp = self.augment_xolp or self.augment_normals
+        priors = None
         if needs_xolp and xolp is None:
             if pol is None:
                 raise ValueError("augment_xolp/augment_normals need pol or xolp")
-            xolp = xolp_from_pol(pol.astype(color.dtype))
+            pol_f32 = pol.astype(jnp.float32)
+            if self.use_pallas and jax.default_backend() == "tpu":
+                from polardepth_tpu.ops.pallas.polar_preprocess import (
+                    fused_polar_preprocess)
+                if self.augment_normals:
+                    xolp, priors = fused_polar_preprocess(
+                        pol_f32, self.refraction_index)
+                else:
+                    xolp = xolp_from_pol(pol_f32)
+            else:
+                xolp = xolp_from_pol(pol_f32)
 
-        rgb_feats = ShallowResNet18Stem(name="rgb_encoder")(color, train)
+        cd = self.compute_dtype
+        rgb_feats = ShallowResNet18Stem(cd, name="rgb_encoder")(color, train)
         xolp_feats = None
         normals_feats = None
         if self.augment_xolp:
             xolp_feats = ShallowEncoder(
-                "XOLP", self.dropout_rate, name="xolp_encoder")(xolp, train)
+                "XOLP", self.dropout_rate, cd,
+                name="xolp_encoder")(xolp, train)
         if self.augment_normals:
             normals_feats = ShallowNormalsEncoder(
-                self.dropout_rate, self.refraction_index,
-                name="normals_encoder")(xolp, train)
+                self.dropout_rate, self.refraction_index, cd,
+                name="normals_encoder")(xolp, train, priors=priors)
         joint = JointEncoder(self.dropout_rate, name="joint_encoder")(
             rgb_feats[-1], xolp_feats, normals_feats, train)
         return DepthDecoder(tuple(self.scales), name="mono_depth")(

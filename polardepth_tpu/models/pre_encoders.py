@@ -43,11 +43,12 @@ class ShallowEncoder(nn.Module):
 
     mode: str = "XOLP"
     dropout_rate: float = 0.1
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dropout_rate
-        x = normalize_input(x, self.mode)
+        x = normalize_input(x, self.mode).astype(self.compute_dtype)
         x = ConvBNReLUDrop(64, 7, "stride2", 3, d)(x, train)
         x = ResidualBlock(64, 3, 1, d)(x, train)
         x = ConvBNReLUDrop(64, 5, "maxpool", 2, d)(x, train)
@@ -66,12 +67,21 @@ class ShallowNormalsEncoder(nn.Module):
 
     dropout_rate: float = 0.1
     refraction_index: float = 1.5
+    compute_dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, xolp, train: bool = False):
-        normals = normal_priors_from_xolp(xolp, self.refraction_index)
-        normals = normals.astype(xolp.dtype)
-        return ShallowEncoder("normals", self.dropout_rate)(normals, train)
+    def __call__(self, xolp, train: bool = False, priors=None):
+        """priors: optionally precomputed 9-channel Fresnel priors (e.g. from
+        the fused Pallas preprocessing kernel); computed from xolp here
+        otherwise.  Both paths share the same parameter tree."""
+        if priors is None:
+            # Fresnel inversion stays float32: the LUT knot spacing (~4e-4)
+            # is below bf16 resolution; only the conv stack runs in
+            # compute_dtype.
+            priors = normal_priors_from_xolp(
+                xolp.astype(jnp.float32), self.refraction_index)
+        return ShallowEncoder("normals", self.dropout_rate,
+                              self.compute_dtype)(priors, train)
 
 
 class JointEncoder(nn.Module):

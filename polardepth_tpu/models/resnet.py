@@ -77,11 +77,16 @@ class ShallowResNet18Stem(nn.Module):
     Input: (B, H, W, 3) in [0, 1]; normalization (x-0.45)/0.225 is applied
     here as in the reference (resnet_encoder.py:813).
     Returns [f0 64@H/2, f1 64@H/4, f2 128@H/8].
+
+    compute_dtype: activation dtype for the conv stack (bfloat16 for the MXU
+    fast path; parameters stay float32).
     """
+
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = (x - 0.45) / 0.225
+        x = ((x - 0.45) / 0.225).astype(self.compute_dtype)
         f0 = _stem(x, train)
         f1 = _layer(_maxpool(f0), 64, 2, 1, train)
         f2 = _layer(f1, 128, 2, 2, train)
@@ -99,10 +104,11 @@ class ResNet18Encoder(nn.Module):
     """
 
     num_input_images: int = 1
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = (x - 0.45) / 0.225
+        x = ((x - 0.45) / 0.225).astype(self.compute_dtype)
         f0 = _stem(x, train)
         f1 = _layer(_maxpool(f0), 64, 2, 1, train)
         f2 = _layer(f1, 128, 2, 2, train)

@@ -49,10 +49,11 @@ def preprocess_batch(batch: dict, cfg: Config, dtype=jnp.float32) -> dict:
         color = resize_antialias(color, (h, w))
     out["color"] = color
 
-    pol = batch["pol"].astype(dtype)  # keep the 0..255 scale for XOLP
-    if pol.shape[1:3] != (h, w):
-        pol = resize_antialias(pol, (h, w))
-    out["pol"] = pol
+    if "pol" in batch:  # absent in the RGB-only graph
+        pol = batch["pol"].astype(dtype)  # keep the 0..255 scale for XOLP
+        if pol.shape[1:3] != (h, w):
+            pol = resize_antialias(pol, (h, w))
+        out["pol"] = pol
 
     for k in ("depth", "depth_gt"):
         if k in batch:

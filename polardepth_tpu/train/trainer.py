@@ -52,6 +52,7 @@ def build_model(cfg: Config) -> PolarDepthNet:
         dropout_rate=cfg.dropout_rate,
         scales=tuple(cfg.scales),
         refraction_index=cfg.refraction_index,
+        compute_dtype=cfg.compute_dtype,
     )
 
 

@@ -67,7 +67,8 @@ def test_normal_priors_shape_and_blocks():
     rng = np.random.default_rng(3)
     xolp = np.stack([rng.uniform(0, 0.9, (2, 5, 7)),
                      rng.uniform(-1.5, 1.5, (2, 5, 7))], axis=-1)
-    out = np.asarray(normal_priors_from_xolp(jnp.asarray(xolp), N))
+    out = np.asarray(normal_priors_from_xolp(jnp.asarray(xolp), N,
+                                             method="exact"))
     assert out.shape == (2, 5, 7, 9)
     rho, phi = xolp[..., 0], xolp[..., 1]
     td = _scipy_diffuse(rho)
@@ -78,3 +79,28 @@ def test_normal_priors_shape_and_blocks():
     np.testing.assert_allclose(out[..., 3], np.cos(phi + np.pi / 2) * np.sin(t1),
                                atol=1e-5)
     np.testing.assert_allclose(out[..., 8], np.cos(t2), atol=1e-5)
+
+
+def test_fused_interp_matches_exact_path():
+    """The TPU fast path (compare-matrix matmul) must agree with the exact
+    searchsorted LUT interpolation to float32-telescoping tolerance on the
+    physical DoLP range.  (Beyond the Brewster knee, rho > ~0.95, the
+    specular extrapolation slope is ~1e4 and *any* float32 evaluation order
+    diverges — the reference itself only gets stable values there because
+    scipy upcasts to float64.)"""
+    rng = np.random.default_rng(4)
+    xolp = np.stack([rng.uniform(0, 0.95, (3, 16, 16)),
+                     rng.uniform(-1.5, 1.5, (3, 16, 16))],
+                    axis=-1).astype(np.float32)
+    fused = np.asarray(normal_priors_from_xolp(jnp.asarray(xolp), N,
+                                               method="fused"))
+    exact = np.asarray(normal_priors_from_xolp(jnp.asarray(xolp), N,
+                                               method="exact"))
+    np.testing.assert_allclose(fused, exact, atol=5e-5)
+
+    # The diffuse channel stays tight even deep into extrapolation.
+    wild = np.stack([rng.uniform(0.95, 1.1, (8, 8)),
+                     rng.uniform(-1.5, 1.5, (8, 8))], axis=-1).astype(np.float32)
+    f2 = np.asarray(normal_priors_from_xolp(jnp.asarray(wild), N, "fused"))
+    e2 = np.asarray(normal_priors_from_xolp(jnp.asarray(wild), N, "exact"))
+    np.testing.assert_allclose(f2[..., :3], e2[..., :3], atol=1e-4)
