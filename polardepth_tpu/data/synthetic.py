@@ -4,17 +4,21 @@ The real HAMMER dataset is not distributable with the framework, so tests,
 overfit smoke runs and benchmarks use generated scenes in which every
 quantity is derived from a common ground-truth geometry:
 
-  depth  ->  normals (pinhole unprojection + analytic surfaces)
-         ->  zenith angle theta vs the viewing ray -> DoLP via the diffuse
-             Fresnel curve; azimuth -> AoLP
-         ->  four polarizer captures I(a) = Iun * (1 + rho * cos(2a - 2phi))
-  rgb    =  Lambertian shading of the same geometry
-  masks  =  material ids on the objects (HAMMER id scheme 20..200)
+  world     : a tilted background plane + material spheres (HAMMER id scheme
+              20..200), one fixed world per sample index
+  camera    : a smooth trajectory T(frame) (cam-to-world), so temporal
+              neighbours at +-offset exist with known relative poses — this
+              exercises the pose / reprojection / cost-volume paths
+  depth     : exact ray-plane / ray-sphere intersections per pixel
+  normals   : analytic surface normals
+  DoLP/AoLP : diffuse Fresnel curve at the view-zenith angle; azimuth
+  pol       : I(a) = Iun * (1 + rho * cos(2a - 2phi)) at 0/45/90/135 deg
+  rgb       : Lambertian shading
 
 Because the forward model uses the same Fresnel curves the network's priors
 invert, the XOLP/normals encoders receive real signal — an overfit run must
-drive the supervised losses toward zero, which is the de-facto smoke test the
-reference uses (--overfit, options.py:205-212).
+drive the supervised losses toward zero (the reference's own smoke test,
+--overfit, options.py:205-212).
 
 `write_synthetic_scene` dumps the exact on-disk layout the HAMMER loader
 scans (<scene>/polarization/{rgb,pol00,pol01,pol10,pol11,_instance,_gt,
@@ -36,6 +40,11 @@ MATERIAL_IDS = {
 }
 
 
+def _rot_y(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+
+
 class SyntheticHammer:
     """In-memory generator of HAMMER-schema samples.
 
@@ -46,7 +55,7 @@ class SyntheticHammer:
       depth_gt  (H, W, 1) float32      ground-truth depth (m)
       mask      (H, W, 1) int32        instance/material ids
       K, inv_K  (4, 4)    float32      scale-0 intrinsics
-      pose      (4, 4)    float32      cam-to-world (for pose-sup tests)
+      pose      (4, 4)    float32      cam-to-world at this frame
     """
 
     def __init__(self, height: int = 320, width: int = 480, n: float = 1.5,
@@ -68,68 +77,92 @@ class SyntheticHammer:
         self.K = K
         self.inv_K = np.linalg.pinv(K).astype(np.float32)
 
-    # -- geometry -------------------------------------------------------------
+    # -- world ---------------------------------------------------------------
 
-    def _scene_depth_normals_mask(self, rng):
-        h, w = self.height, self.width
-        K = self.K
-        u, v = np.meshgrid(np.arange(w, dtype=np.float64),
-                           np.arange(h, dtype=np.float64))
-        # Ray directions through each pixel (unit z).
-        rx = (u - K[0, 2]) / K[0, 0]
-        ry = (v - K[1, 2]) / K[1, 1]
-
-        # Background: a tilted plane  n . p = d  with p = depth * (rx, ry, 1).
+    def _world(self, index: int):
+        """Fixed world geometry for a sample index (shared by all frames)."""
+        rng = np.random.default_rng(self.seed * 100003 + index)
         tilt = rng.uniform(-0.25, 0.25, size=2)
         n_bg = np.array([tilt[0], tilt[1], 1.0])
         n_bg /= np.linalg.norm(n_bg)
         d_bg = rng.uniform(1.4, 1.9)
-        denom = n_bg[0] * rx + n_bg[1] * ry + n_bg[2]
-        depth = d_bg / np.maximum(denom, 1e-3)
-        normals = np.broadcast_to(n_bg, (h, w, 3)).copy()
-        mask = np.full((h, w), MATERIAL_IDS["table"], np.int32)
-
-        # Spheres: ray-sphere intersection gives exact depth + normals.
         ids = rng.choice(list(MATERIAL_IDS.values())[:8], self.num_objects,
                          replace=False)
-        for mid in ids:
-            c = np.array([rng.uniform(-0.35, 0.35), rng.uniform(-0.25, 0.25),
-                          rng.uniform(0.7, 1.2)])
-            r = rng.uniform(0.08, 0.18)
-            # |t*d - c|^2 = r^2 with d = (rx, ry, 1)/|.|
-            dd = np.stack([rx, ry, np.ones_like(rx)], axis=-1)
-            dn = dd / np.linalg.norm(dd, axis=-1, keepdims=True)
-            b = dn @ c
-            disc = b * b - (c @ c - r * r)
-            hit = disc > 0
-            t = b - np.sqrt(np.maximum(disc, 0.0))
-            z = t * dn[..., 2]
-            closer = hit & (z > 0.05) & (z < depth)
-            p = dn * t[..., None]
-            n_sph = (p - c) / r
-            depth = np.where(closer, z, depth)
-            normals = np.where(closer[..., None], n_sph, normals)
-            mask = np.where(closer, mid, mask)
-        return depth, normals, mask
+        spheres = [(np.array([rng.uniform(-0.35, 0.35),
+                              rng.uniform(-0.25, 0.25),
+                              rng.uniform(0.7, 1.2)]),
+                    rng.uniform(0.08, 0.18), int(mid)) for mid in ids]
+        return rng, (n_bg, d_bg), spheres
 
-    def _polarize(self, depth, normals, rng):
-        """Fresnel forward model -> 4 uint8 captures + shading."""
+    def pose(self, index: int, frame: int = 0) -> np.ndarray:
+        """Cam-to-world pose along a smooth per-scene trajectory."""
+        rng = np.random.default_rng(self.seed * 100003 + index + 777)
+        vel = rng.uniform(-0.004, 0.004, 3)
+        yaw_rate = rng.uniform(-0.0015, 0.0015)
+        T = np.eye(4)
+        T[:3, :3] = _rot_y(yaw_rate * frame)
+        T[:3, 3] = vel * frame
+        return T.astype(np.float32)
+
+    def relative_pose(self, index: int, frame: int, center: int) -> np.ndarray:
+        """inv(inv(T_center) @ T_frame) — the reference's convention
+        (hammer_dataset.py:104-132)."""
+        T_c = self.pose(index, center).astype(np.float64)
+        T_s = self.pose(index, frame).astype(np.float64)
+        return np.linalg.inv(np.linalg.inv(T_c) @ T_s).astype(np.float32)
+
+    # -- rendering -----------------------------------------------------------
+
+    def _render_geometry(self, index: int, frame: int):
         h, w = self.height, self.width
         K = self.K
+        rng, (n_bg, d_bg), spheres = self._world(index)
+        T = self.pose(index, frame).astype(np.float64)
+        R, t = T[:3, :3], T[:3, 3]
+
         u, v = np.meshgrid(np.arange(w, dtype=np.float64),
                            np.arange(h, dtype=np.float64))
-        view = np.stack([(u - K[0, 2]) / K[0, 0],
-                         (v - K[1, 2]) / K[1, 1],
-                         np.ones_like(u)], axis=-1)
-        view /= np.linalg.norm(view, axis=-1, keepdims=True)
-        # zenith angle between surface normal and the (towards-camera) ray
-        cos_t = np.clip(np.abs((normals * -view).sum(-1)), 0.0, 1.0)
+        d_cam = np.stack([(u - K[0, 2]) / K[0, 0],
+                          (v - K[1, 2]) / K[1, 1],
+                          np.ones_like(u)], axis=-1)
+        d_cam /= np.linalg.norm(d_cam, axis=-1, keepdims=True)
+        d_w = d_cam @ R.T                      # world-frame ray directions
+        o_w = t                                # camera origin in world
+
+        # background plane n.p = d
+        denom = d_w @ n_bg
+        s_bg = (d_bg - o_w @ n_bg) / np.where(np.abs(denom) > 1e-6, denom,
+                                              1e-6)
+        s_bg = np.where(s_bg > 0, s_bg, 1e6)
+        s_hit = s_bg
+        normals_w = np.broadcast_to(n_bg, (h, w, 3)).copy()
+        mask = np.full((h, w), MATERIAL_IDS["table"], np.int32)
+
+        for c, r, mid in spheres:
+            oc = o_w - c
+            b = -(d_w @ oc)
+            disc = b * b - (oc @ oc - r * r)
+            hit = disc > 0
+            s = b - np.sqrt(np.maximum(disc, 0.0))
+            closer = hit & (s > 0.05) & (s < s_hit)
+            p_w = o_w + d_w * s[..., None]
+            n_sph = (p_w - c) / r
+            s_hit = np.where(closer, s, s_hit)
+            normals_w = np.where(closer[..., None], n_sph, normals_w)
+            mask = np.where(closer, mid, mask)
+
+        depth = s_hit * d_cam[..., 2]          # z in camera frame
+        normals_cam = normals_w @ R            # world -> cam rotation (R^T)^T
+        return rng, depth, normals_cam, d_cam, mask
+
+    def _polarize(self, rng, depth, normals, d_cam):
+        """Fresnel forward model -> 4 uint8 captures + shading."""
+        cos_t = np.clip(np.abs((normals * -d_cam).sum(-1)), 0.0, 1.0)
         theta = np.arccos(cos_t)
         theta_lut, rho_lut = self._rho_of_theta
         rho = np.interp(theta, theta_lut, rho_lut)
         phi = np.arctan2(normals[..., 1], normals[..., 0])
-        # AoLP convention folds into (-pi/2, pi/2]
-        phi = np.arctan(np.tan(phi + 1e-9))
+        phi = np.arctan(np.tan(phi + 1e-9))    # fold to (-pi/2, pi/2]
 
         light = np.array([0.3, -0.5, -0.8])
         light /= np.linalg.norm(light)
@@ -141,18 +174,15 @@ class SyntheticHammer:
                         for a in angles], axis=-1)
         pol = np.clip(pol + rng.normal(0, 1.0, pol.shape), 0, 255)
 
-        albedo = np.stack([0.9 * shade, 0.75 * shade + 0.05, 0.6 * shade + 0.1],
-                          axis=-1)
+        albedo = np.stack([0.9 * shade, 0.75 * shade + 0.05,
+                           0.6 * shade + 0.1], axis=-1)
         rgb = np.clip(albedo * 255.0, 0, 255)
         return pol.astype(np.uint8), rgb.astype(np.uint8)
 
-    def sample(self, index: int) -> dict:
-        rng = np.random.default_rng(self.seed * 100003 + index)
-        depth, normals, mask = self._scene_depth_normals_mask(rng)
-        pol, rgb = self._polarize(depth, normals, rng)
+    def sample(self, index: int, frame: int = 0) -> dict:
+        rng, depth, normals, d_cam, mask = self._render_geometry(index, frame)
+        pol, rgb = self._polarize(rng, depth, normals, d_cam)
         d32 = depth.astype(np.float32)[..., None]
-        pose = np.eye(4, dtype=np.float32)
-        pose[:3, 3] = rng.uniform(-0.05, 0.05, 3)
         return {
             "color": rgb,
             "pol": pol,
@@ -161,19 +191,42 @@ class SyntheticHammer:
             "mask": mask[..., None].astype(np.int32),
             "K": self.K,
             "inv_K": self.inv_K,
-            "pose": pose,
+            "pose": self.pose(index, frame),
         }
 
     def batch(self, batch_size: int, start: int = 0) -> dict:
         samples = [self.sample(start + i) for i in range(batch_size)]
         return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
+    def batch_frames(self, batch_size: int, frame_ids=(0, -1, 1),
+                     offset: int = 10, start: int = 0) -> dict:
+        """Multi-frame batch for the self-supervised / cost-volume paths.
+
+        Adds: color_frames (B, F, H, W, 3) uint8 in frame_ids order and
+        rel_poses (B, F, 4, 4) (identity at frame 0; reference pose
+        convention for neighbours)."""
+        base = self.batch(batch_size, start)
+        frames = []
+        rels = []
+        for b in range(batch_size):
+            idx = start + b
+            fr = [self.sample(idx, frame=f * offset)["color"]
+                  for f in frame_ids]
+            rel = [self.relative_pose(idx, f * offset, 0) if f else
+                   np.eye(4, dtype=np.float32) for f in frame_ids]
+            frames.append(np.stack(fr))
+            rels.append(np.stack(rel))
+        base["color_frames"] = np.stack(frames)
+        base["rel_poses"] = np.stack(rels)
+        return base
+
 
 def write_synthetic_scene(root: str, scene: str, num_frames: int = 12,
                           height: int = 320, width: int = 480,
                           seed: int = 0) -> str:
     """Dump a synthetic scene in the on-disk HAMMER layout so HammerIndex /
-    HammerLoader can be exercised without the real dataset."""
+    HammerLoader can be exercised without the real dataset.  All frames view
+    world #0 from the per-frame trajectory pose."""
     import cv2
 
     gen = SyntheticHammer(height, width, seed=seed)
@@ -190,7 +243,7 @@ def write_synthetic_scene(root: str, scene: str, num_frames: int = 12,
         f.write(" ".join(str(x) for x in Kn[:3, :3].reshape(-1)))
 
     for i in range(num_frames):
-        s = gen.sample(i)
+        s = gen.sample(0, frame=i)
         name = f"{i:06d}.png"
         cv2.imwrite(os.path.join(base, "rgb", name),
                     cv2.cvtColor(s["color"], cv2.COLOR_RGB2BGR))

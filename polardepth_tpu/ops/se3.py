@@ -46,6 +46,31 @@ def get_translation_matrix(t: jnp.ndarray) -> jnp.ndarray:
     return eye.at[:, :3, 3].set(t)
 
 
+def rotmat_to_rotvec(R: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """(B, 3, 3) rotation matrices -> (B, 3) axis-angle (log map).
+
+    Replaces the reference's roma.rotmat_to_rotvec dependency
+    (trainer.py:1276-1277, pose-supervision loss).  Stable for small angles
+    via the sinc form; angles near pi fall back to the diagonal formula.
+    """
+    trace = R[:, 0, 0] + R[:, 1, 1] + R[:, 2, 2]
+    cos_a = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    angle = jnp.arccos(cos_a)                     # (B,)
+    skew = jnp.stack([R[:, 2, 1] - R[:, 1, 2],
+                      R[:, 0, 2] - R[:, 2, 0],
+                      R[:, 1, 0] - R[:, 0, 1]], axis=-1)  # = 2 sin(a) * axis
+    sin_a = jnp.sin(angle)
+    # generic branch: axis = skew / (2 sin a); rotvec = axis * angle
+    factor = jnp.where(sin_a > eps, angle / (2.0 * sin_a + eps), 0.5)
+    generic = skew * factor[:, None]
+    # near-pi branch: |axis_i| from the diagonal, signs from the skew part
+    diag = jnp.stack([R[:, 0, 0], R[:, 1, 1], R[:, 2, 2]], axis=-1)
+    axis_abs = jnp.sqrt(jnp.clip((diag + 1.0) * 0.5, 0.0, 1.0))
+    signs = jnp.where(skew >= 0, 1.0, -1.0)
+    near_pi = axis_abs * signs * angle[:, None]
+    return jnp.where((jnp.pi - angle[:, None]) > 1e-3, generic, near_pi)
+
+
 def transformation_from_parameters(axisangle: jnp.ndarray,
                                    translation: jnp.ndarray,
                                    invert: bool = False) -> jnp.ndarray:

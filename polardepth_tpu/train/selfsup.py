@@ -1,0 +1,252 @@
+"""Self-supervised (pose + reprojection) training path.
+
+Capability parity with the reference's flag-off-by-default ManyDepth
+machinery: pose prediction from stacked frame pairs
+(trainer.py:669-750), differentiable reprojection warping
+(generate_images_pred, trainer.py:983-1067) and the Monodepth2 loss with
+min-reprojection automasking and random tie-breaking
+(trainer.py:1069-1296).  The published HAMMER configuration is
+supervised-only; this module provides the self-supervised graph for the
+other flag combinations (depth_supervision both on and off).
+
+TPU-native notes: pose pairs for all neighbour frames are evaluated in one
+batched pose-net call (the reference loops frames in Python); the tie-break
+noise (trainer.py:1192-1194) is PRNG-key-threaded instead of global torch
+RNG.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from polardepth_tpu.config import Config
+from polardepth_tpu.models.network import PolarDepthNet
+from polardepth_tpu.models.resnet import ResNet18Encoder
+from polardepth_tpu.models.pose import PoseDecoder
+from polardepth_tpu.ops.camera import backproject_depth, project_3d
+from polardepth_tpu.ops.depth import disp_to_depth
+from polardepth_tpu.ops.losses import (
+    reprojection_loss, smooth_loss, masked_l1_depth_loss,
+    supervised_normals_loss,
+)
+from polardepth_tpu.ops.resize import resize_bilinear
+from polardepth_tpu.ops.se3 import (
+    transformation_from_parameters, rotmat_to_rotvec,
+)
+from polardepth_tpu.ops.warp import grid_sample
+from polardepth_tpu.train.losses import color_pyramid
+
+
+class PoseNet(nn.Module):
+    """ResNet18 (2-frame input) + PoseDecoder; component names match the
+    reference checkpoints (pose_encoder / pose)."""
+
+    compute_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, frame_a, frame_b, train: bool = False):
+        x = jnp.concatenate([frame_a, frame_b], axis=-1)
+        feats = ResNet18Encoder(2, self.compute_dtype,
+                                name="pose_encoder")(x, train)
+        aa, t = PoseDecoder(1, 2, name="pose")([feats])
+        return aa.astype(jnp.float32), t.astype(jnp.float32)
+
+
+class SelfSupModel(nn.Module):
+    """Depth net + pose net over a (0, -1, +1) frame stack."""
+
+    frame_ids: Sequence[int] = (0, -1, 1)
+    augment_xolp: bool = True
+    augment_normals: bool = True
+    dropout_rate: float = 0.1
+    scales: Sequence[int] = (0, 1, 2, 3)
+    refraction_index: float = 1.5
+    compute_dtype: str = "float32"
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, color_frames, pol=None, train: bool = False):
+        """color_frames: (B, F, H, W, 3) in frame_ids order (0 first).
+
+        Returns (disps, poses): disps {("disp", s)}, poses {frame_id: T
+        (B, 4, 4) cam0 -> cam_frame} (predict_poses semantics: temporal
+        ordering of the pair + invert for past frames, trainer.py:696-706).
+        """
+        depth_net = PolarDepthNet(
+            self.augment_xolp, self.augment_normals, self.dropout_rate,
+            tuple(self.scales), self.refraction_index, self.compute_dtype,
+            self.use_pallas, name="mono")
+        disps = depth_net(color_frames[:, 0], pol=pol, train=train)
+
+        pose_net = PoseNet(self.compute_dtype, name="pose_net")
+        poses = {}
+        for i, f in enumerate(self.frame_ids):
+            if f == 0:
+                continue
+            if f < 0:
+                aa, t = pose_net(color_frames[:, i], color_frames[:, 0],
+                                 train)
+            else:
+                aa, t = pose_net(color_frames[:, 0], color_frames[:, i],
+                                 train)
+            poses[f] = transformation_from_parameters(
+                aa[:, 0], t[:, 0], invert=(f < 0))
+        return disps, poses
+
+
+def generate_images_pred(cfg: Config, disps: dict, poses: dict,
+                         color_frames: jnp.ndarray, K: jnp.ndarray,
+                         inv_K: jnp.ndarray):
+    """Warp each source frame into frame 0 through the predicted depth and
+    pose at every scale (trainer.py:983-1067; grid_sample border padding,
+    align_corners=True).  Returns ({("color", f, s)}, {("depth", 0, s)})."""
+    h, w = cfg.height, cfg.width
+    frame_order = [f for f in cfg.frame_ids if f != 0]
+    warped = {}
+    depths = {}
+    colors_f32 = color_frames.astype(jnp.float32)
+    for s in cfg.scales:
+        disp = disps[("disp", s)]
+        disp_full = resize_bilinear(disp, (h, w)) if s else disp
+        _, depth = disp_to_depth(disp_full, cfg.min_depth, cfg.max_depth)
+        depths[("depth", 0, s)] = depth
+        points = backproject_depth(depth, inv_K)
+        for i, f in enumerate(cfg.frame_ids):
+            if f == 0:
+                continue
+            grid = project_3d(points, K, poses[f], h, w)
+            warped[("color", f, s)] = grid_sample(
+                colors_f32[:, i], grid, padding_mode="border",
+                align_corners=True)
+    return warped, depths
+
+
+def selfsup_losses(cfg: Config, rng: jax.Array, disps: dict, warped: dict,
+                   depths: dict, batch: dict):
+    """Monodepth2 loss with automasking (trainer.py:1126-1296, is_multi=False
+    path), plus optional supervised depth/normals terms when
+    cfg.depth_supervision."""
+    h, w = cfg.height, cfg.width
+    color0 = batch["color"]             # clean (non-aug) frame-0 pyramid src
+    target = color0
+    pyr = color_pyramid(color0, cfg.scales)
+    frames = [f for f in cfg.frame_ids if f != 0]
+
+    # identity reprojection (static-scene automask), shared across scales
+    identity_losses = []
+    for i, f in enumerate(cfg.frame_ids):
+        if f == 0:
+            continue
+        src = batch["color_frames"][:, i].astype(jnp.float32) / 255.0
+        identity_losses.append(reprojection_loss(src, target, not cfg.no_ssim))
+    identity = jnp.min(jnp.concatenate(identity_losses, axis=-1), axis=-1,
+                       keepdims=True)
+    # random tie-break noise (trainer.py:1192-1194)
+    identity = identity + jax.random.normal(rng, identity.shape) * 1e-5
+
+    logs = {}
+    total = 0.0
+    if cfg.depth_supervision:
+        depth_sup = batch["depth"]
+        valid = ((depth_sup >= cfg.min_depth) &
+                 (depth_sup <= cfg.max_depth)).astype(jnp.float32)
+
+    for s in cfg.scales:
+        reproj = jnp.min(jnp.concatenate(
+            [reprojection_loss(warped[("color", f, s)], target,
+                               not cfg.no_ssim) for f in frames],
+            axis=-1), axis=-1, keepdims=True)
+        if cfg.disable_automasking:
+            mask = jnp.ones_like(reproj)
+        else:
+            mask = (reproj < identity).astype(jnp.float32)
+        loss_s = jnp.sum(reproj * mask) / (jnp.sum(mask) + 1e-7)
+        logs[f"reproj_loss/{s}"] = loss_s
+
+        if cfg.depth_supervision:
+            depth = depths[("depth", 0, s)]
+            l_dep = masked_l1_depth_loss(depth_sup, depth, valid)
+            l_nrm = supervised_normals_loss(depth_sup, depth, batch["K"],
+                                            valid)
+            logs[f"supervised_depth_loss/{s}"] = l_dep
+            loss_s = loss_s + l_dep + cfg.normals_loss_weight * l_nrm
+
+        disp = disps[("disp", s)]
+        mean_disp = jnp.mean(disp, axis=(1, 2), keepdims=True)
+        l_sm = smooth_loss(disp / (mean_disp + 1e-7), pyr[s])
+        loss_s = loss_s + cfg.disparity_smoothness * l_sm / (2 ** s)
+
+        logs[f"loss/{s}"] = loss_s
+        total = total + loss_s
+
+    total = total / cfg.num_scales
+    logs["loss"] = total
+    return total, logs
+
+
+def pose_supervision_loss(poses: dict, rel_poses: jnp.ndarray,
+                          frame_ids: Sequence[int]):
+    """0.1 * |rotvec diff|^2 + |t diff|^2 vs GT relative poses
+    (trainer.py:1267-1285; roma replaced by ops.se3.rotmat_to_rotvec)."""
+    r_loss = 0.0
+    t_loss = 0.0
+    for i, f in enumerate(frame_ids):
+        if f == 0:
+            continue
+        T_pred = poses[f]
+        T_gt = rel_poses[:, i]
+        r_pred = rotmat_to_rotvec(T_pred[:, :3, :3])
+        r_gt = rotmat_to_rotvec(T_gt[:, :3, :3])
+        r_loss = r_loss + 0.1 * jnp.mean((r_pred - r_gt) ** 2)
+        t_loss = t_loss + jnp.mean((T_pred[:, :3, 3] - T_gt[:, :3, 3]) ** 2)
+    return r_loss, t_loss
+
+
+def make_selfsup_train_step(model: SelfSupModel, cfg: Config):
+    """Jitted train step for the self-supervised graph; batch needs
+    color_frames (B,F,H,W,3) uint8, pol, K, inv_K (+ depth when
+    cfg.depth_supervision, rel_poses when cfg.supervise_pose)."""
+    needs_pol = cfg.augment_xolp or cfg.augment_normals
+
+    def step(state, batch: dict, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        k_noise, k_drop = jax.random.split(rng)
+        color_frames = batch["color_frames"].astype(jnp.float32) / 255.0
+        pb = {
+            "color": color_frames[:, 0],
+            "color_frames": batch["color_frames"],
+            "K": batch["K"],
+        }
+        if cfg.depth_supervision:
+            pb["depth"] = batch["depth"].astype(jnp.float32)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            (disps, poses), mut = model.apply(
+                variables, color_frames,
+                pol=batch["pol"].astype(jnp.float32) if needs_pol else None,
+                train=True, rngs={"dropout": k_drop},
+                mutable=["batch_stats"])
+            warped, depths = generate_images_pred(
+                cfg, disps, poses, color_frames, batch["K"], batch["inv_K"])
+            loss, logs = selfsup_losses(cfg, k_noise, disps, warped, depths,
+                                        pb)
+            if cfg.supervise_pose:
+                r_loss, t_loss = pose_supervision_loss(
+                    poses, batch["rel_poses"], cfg.frame_ids)
+                loss = loss + r_loss + t_loss
+                logs["r_loss"] = r_loss
+                logs["t_loss"] = t_loss
+                logs["loss"] = loss
+            return loss, (logs, mut)
+
+        grads, (logs, mut) = jax.grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(
+            grads=grads, batch_stats=mut["batch_stats"])
+        return new_state, logs
+
+    return step

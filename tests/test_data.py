@@ -1,0 +1,114 @@
+"""Data subsystem tests: HAMMER on-disk index/loader against a synthetic
+scene written in the reference layout, pipeline batching, augmentation, and
+synthetic multi-frame consistency."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from polardepth_tpu.data.hammer import HammerIndex, HammerLoader
+from polardepth_tpu.data.synthetic import SyntheticHammer, write_synthetic_scene
+from polardepth_tpu.data.pipeline import BatchIterator, device_prefetch
+from polardepth_tpu.data.augment import color_jitter
+
+H, W = 64, 96
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("hammer"))
+    write_synthetic_scene(root, "scene1_traj1_1", num_frames=8,
+                          height=H, width=W, seed=3)
+    return root
+
+
+def test_index_supervised_only_counts_all_frames(scene_dir):
+    idx = HammerIndex(scene_dir, ["scene1_traj1_1"], frame_ids=(0,), offset=2)
+    assert len(idx) == 8
+
+
+def test_index_with_neighbours_filters_edges(scene_dir):
+    idx = HammerIndex(scene_dir, ["scene1_traj1_1"], frame_ids=(0, -1, 1),
+                      offset=2)
+    # frames 0,1 lack a -2 neighbour; frames 6,7 lack a +2 neighbour
+    assert len(idx) == 4
+
+
+def test_loader_roundtrips_synthetic_content(scene_dir):
+    gen = SyntheticHammer(H, W, seed=3)
+    idx = HammerIndex(scene_dir, ["scene1_traj1_1"], frame_ids=(0,), offset=2)
+    loader = HammerLoader(idx)
+    s = loader.load(5)
+    ref = gen.sample(0, frame=5)
+    # PNG encode/decode is lossless for uint8/uint16
+    np.testing.assert_array_equal(s["color"], ref["color"])
+    np.testing.assert_array_equal(s["pol"], ref["pol"])
+    np.testing.assert_array_equal(s["mask"][..., 0], ref["mask"][..., 0])
+    np.testing.assert_allclose(s["depth_gt"], ref["depth_gt"], atol=1e-3)
+    np.testing.assert_allclose(s["pose"], ref["pose"], atol=1e-6)
+    K = loader.intrinsics_for(idx.entries[0][0], W, H)
+    np.testing.assert_allclose(K, ref["K"], rtol=1e-5)
+
+
+def test_loader_relative_pose_matches_generator(scene_dir):
+    gen = SyntheticHammer(H, W, seed=3)
+    idx = HammerIndex(scene_dir, ["scene1_traj1_1"], frame_ids=(0,), offset=2)
+    loader = HammerLoader(idx)
+    base = idx.entries[0][0]
+    got = loader.relative_pose(base, frame=6, center=4)
+    want = gen.relative_pose(0, frame=6, center=4)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_batch_iterator_shapes_and_shuffle(scene_dir):
+    idx = HammerIndex(scene_dir, ["scene1_traj1_1"], frame_ids=(0,), offset=2)
+    loader = HammerLoader(idx)
+    it = BatchIterator(loader.load, len(idx), batch_size=3, shuffle=True,
+                       seed=1, num_workers=2)
+    batches = list(it)
+    assert len(batches) == 2  # 8 // 3, drop_last
+    b = batches[0]
+    assert b["color"].shape == (3, H, W, 3)
+    assert b["pol"].shape == (3, H, W, 4)
+    assert b["depth"].shape == (3, H, W, 1)
+    # scalar string keys are dropped by stacking
+    assert "scene" not in b
+
+
+def test_device_prefetch_delivers_all_batches(scene_dir):
+    idx = HammerIndex(scene_dir, ["scene1_traj1_1"], frame_ids=(0,), offset=2)
+    loader = HammerLoader(idx)
+    it = BatchIterator(loader.load, len(idx), batch_size=2)
+    out = list(device_prefetch(iter(it)))
+    assert len(out) == 4
+    assert all(isinstance(jax.tree_util.tree_leaves(b)[0], jax.Array)
+               for b in out)
+
+
+def test_multiframe_batch_consistency():
+    gen = SyntheticHammer(H, W, seed=0)
+    b = gen.batch_frames(2, frame_ids=(0, -1, 1), offset=3)
+    assert b["color_frames"].shape == (2, 3, H, W, 3)
+    assert b["rel_poses"].shape == (2, 3, 4, 4)
+    # frame 0 slot equals the single-frame color; rel pose 0 is identity
+    np.testing.assert_array_equal(b["color_frames"][:, 0], b["color"])
+    np.testing.assert_allclose(b["rel_poses"][:, 0],
+                               np.broadcast_to(np.eye(4), (2, 4, 4)))
+    # neighbours view the same world: with small motion, mean abs diff of
+    # neighbouring frames is small but nonzero
+    d = np.abs(b["color_frames"][:, 0].astype(int)
+               - b["color_frames"][:, 1].astype(int)).mean()
+    assert 0.0 < d < 30.0
+
+
+def test_color_jitter_probability_and_range():
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 1, (8, 16, 16, 3)).astype(np.float32))
+    out = color_jitter(jax.random.PRNGKey(0), img, apply_prob=1.0)
+    assert out.shape == img.shape
+    o = np.asarray(out)
+    assert o.min() >= 0.0 and o.max() <= 1.0
+    assert not np.allclose(o, np.asarray(img))
+    out_never = color_jitter(jax.random.PRNGKey(0), img, apply_prob=0.0)
+    np.testing.assert_array_equal(np.asarray(out_never), np.asarray(img))
