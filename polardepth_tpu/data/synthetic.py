@@ -153,20 +153,33 @@ class SyntheticHammer:
 
         depth = s_hit * d_cam[..., 2]          # z in camera frame
         normals_cam = normals_w @ R            # world -> cam rotation (R^T)^T
-        return rng, depth, normals_cam, d_cam, mask
+        p_w = o_w + d_w * s_hit[..., None]     # world hit points (texture anchor)
+        return rng, depth, normals_cam, normals_w, d_cam, mask, p_w
 
-    def _polarize(self, rng, depth, normals, d_cam):
-        """Fresnel forward model -> 4 uint8 captures + shading."""
-        cos_t = np.clip(np.abs((normals * -d_cam).sum(-1)), 0.0, 1.0)
+    def _polarize(self, rng, normals_cam, normals_w, d_cam, p_w):
+        """Fresnel forward model -> 4 uint8 captures + shading.
+
+        Lambertian shading uses the WORLD-frame light direction so multiple
+        views of a surface are photometrically consistent (required for the
+        reprojection / cost-volume paths to have signal); the polarization
+        state uses camera-frame normals — view-dependent by physics.
+        """
+        cos_t = np.clip(np.abs((normals_cam * -d_cam).sum(-1)), 0.0, 1.0)
         theta = np.arccos(cos_t)
         theta_lut, rho_lut = self._rho_of_theta
         rho = np.interp(theta, theta_lut, rho_lut)
-        phi = np.arctan2(normals[..., 1], normals[..., 0])
+        phi = np.arctan2(normals_cam[..., 1], normals_cam[..., 0])
         phi = np.arctan(np.tan(phi + 1e-9))    # fold to (-pi/2, pi/2]
 
         light = np.array([0.3, -0.5, -0.8])
         light /= np.linalg.norm(light)
-        shade = np.clip((normals * -light).sum(-1), 0.15, 1.0)
+        shade = np.clip((normals_w * -light).sum(-1), 0.15, 1.0)
+        # world-anchored procedural texture: gives photometric matching
+        # something to lock onto (view-consistent by construction)
+        tex = (0.85 + 0.08 * np.sin(37.0 * p_w[..., 0])
+               * np.sin(31.0 * p_w[..., 1])
+               + 0.07 * np.sin(53.0 * (p_w[..., 0] + p_w[..., 2])))
+        shade = shade * tex
         iun = 40.0 + 170.0 * shade
 
         angles = np.deg2rad([0.0, 45.0, 90.0, 135.0])
@@ -180,8 +193,9 @@ class SyntheticHammer:
         return pol.astype(np.uint8), rgb.astype(np.uint8)
 
     def sample(self, index: int, frame: int = 0) -> dict:
-        rng, depth, normals, d_cam, mask = self._render_geometry(index, frame)
-        pol, rgb = self._polarize(rng, depth, normals, d_cam)
+        rng, depth, normals_cam, normals_w, d_cam, mask, p_w = \
+            self._render_geometry(index, frame)
+        pol, rgb = self._polarize(rng, normals_cam, normals_w, d_cam, p_w)
         d32 = depth.astype(np.float32)[..., None]
         return {
             "color": rgb,

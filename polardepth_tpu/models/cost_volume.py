@@ -1,0 +1,178 @@
+"""Cost-volume matching encoder (the ManyDepth multi-frame "student" path).
+
+Re-design of the reference's ResnetEncoderMatching
+(manydepth/networks/resnet_encoder.py:292-733).  The reference builds the
+plane-sweep cost volume with a *Python loop over batch elements and lookup
+frames* and a data-dependent `if pose.sum() == 0: continue`
+(resnet_encoder.py:443-511) — untraceable and serial.  Here the whole volume
+is one batched einsum/gather pipeline, vectorised over (batch, frame, bin),
+with missing frames handled by a validity *mask* (compute always, weight by
+zero) so the graph stays static for XLA.
+
+Semantics preserved:
+  * feature extraction = ResNet18 conv1..layer1 at 1/4 resolution, shared
+    weights between current and lookup frames; lookup features and the
+    volume are stop_gradient'ed (reference torch.no_grad,
+    resnet_encoder.py:571, 616).
+  * depth bins linear in depth or inverse depth (compute_depth_bins,
+    :406-428), adaptive endpoints passed as traced scalars.
+  * L1 feature difference, border edge-masking (>=2 px from both images'
+    borders), per-pixel frame counts, missing -> max-over-bins
+    (:471-504), confidence mask = all bins observed (:534-540).
+  * lowest_cost = 1/depth at the argmin bin with zeros ignored (:623-627).
+  * reduce_conv([feats ‖ masked volume]) -> resnet layers2..4 (:630-705).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from polardepth_tpu.models.layers import TorchConv
+from polardepth_tpu.models.resnet import _stem, _layer, _maxpool
+from polardepth_tpu.ops.warp import grid_sample
+
+
+def compute_depth_bins(min_depth: jnp.ndarray, max_depth: jnp.ndarray,
+                       num_bins: int, binning: str = "linear") -> jnp.ndarray:
+    """(D,) depth hypotheses; endpoints may be traced scalars (adaptive
+    bins, reference trainer.update_adaptive_depth_bins)."""
+    if binning == "linear":
+        return jnp.linspace(min_depth, max_depth, num_bins)
+    if binning == "inverse":
+        return (1.0 / jnp.linspace(1.0 / max_depth, 1.0 / min_depth,
+                                   num_bins))[::-1]
+    raise NotImplementedError(binning)
+
+
+class _FeatureExtractor(nn.Module):
+    """ResNet18 conv1+layer1 (shared for current and lookup frames)."""
+
+    compute_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ((x - 0.45) / 0.225).astype(self.compute_dtype)
+        f0 = _stem(x, train)
+        f1 = _layer(_maxpool(f0), 64, 2, 1, train)
+        return f0, f1
+
+
+def build_cost_volume(current_feats, lookup_feats, rel_poses, K, inv_K,
+                      depth_bins):
+    """Vectorised plane-sweep matching.
+
+    Args:
+      current_feats: (B, h, w, C) at 1/4 res.
+      lookup_feats: (B, F, h, w, C).
+      rel_poses: (B, F, 4, 4); an all-zero pose marks a missing frame.
+      K, inv_K: (B, 4, 4) intrinsics *at 1/4 scale*.
+      depth_bins: (D,).
+
+    Returns (cost_volume (B, D, h, w), missing_mask (B, D, h, w)).
+    """
+    b, h, w, c = current_feats.shape
+    f = lookup_feats.shape[1]
+    d = depth_bins.shape[0]
+    dt = current_feats.dtype
+
+    xs, ys = jnp.meshgrid(jnp.arange(w, dtype=dt), jnp.arange(h, dtype=dt))
+    pix = jnp.stack([xs.reshape(-1), ys.reshape(-1),
+                     jnp.ones(h * w, dt)])                    # (3, hw)
+    cam = jnp.einsum("bij,jn->bin", inv_K[:, :3, :3], pix)     # (B, 3, hw)
+    pts = cam[:, None] * depth_bins[None, :, None, None]       # (B, D, 3, hw)
+    pts = jnp.concatenate(
+        [pts, jnp.ones((b, d, 1, h * w), dt)], axis=2)         # (B, D, 4, hw)
+
+    P = jnp.einsum("bij,bfjk->bfik", K, rel_poses)[:, :, :3]   # (B, F, 3, 4)
+    proj = jnp.einsum("bfij,bdjn->bfdin", P, pts)              # (B, F, D, 3, hw)
+    pix_xy = proj[:, :, :, :2] / (proj[:, :, :, 2:3] + 1e-7)
+    x_vals = pix_xy[:, :, :, 0].reshape(b, f, d, h, w)
+    y_vals = pix_xy[:, :, :, 1].reshape(b, f, d, h, w)
+    gx = (x_vals / (w - 1) - 0.5) * 2.0
+    gy = (y_vals / (h - 1) - 0.5) * 2.0
+    grid = jnp.stack([gx, gy], axis=-1)                        # (B, F, D, h, w, 2)
+
+    warped = grid_sample(
+        lookup_feats.reshape(b * f, h, w, c),
+        grid.reshape(b * f, d * h, w, 2),
+        padding_mode="zeros", align_corners=True,
+    ).reshape(b, f, d, h, w, c)
+
+    # edge masking: lookup-image border and current-image border, 2 px each
+    edge = ((x_vals >= 2.0) & (x_vals <= w - 2) &
+            (y_vals >= 2.0) & (y_vals <= h - 2)).astype(dt)
+    interior = jnp.zeros((h, w), dt).at[2:-2, 2:-2].set(1.0)
+    edge = edge * interior[None, None, None]
+
+    frame_valid = (jnp.sum(jnp.abs(rel_poses), axis=(2, 3)) > 0).astype(dt)
+    diffs = jnp.mean(jnp.abs(warped - current_feats[:, None, None]), axis=-1)
+    diffs = diffs * edge * frame_valid[:, :, None, None, None]
+
+    cost = jnp.sum(diffs, axis=1)
+    counts = jnp.sum((diffs > 0).astype(dt), axis=1)
+    cost = cost / (counts + 1e-7)
+
+    missing = (cost == 0).astype(dt)
+    cost = cost * (1 - missing) + jnp.max(cost, axis=1, keepdims=True) * missing
+    return cost, missing
+
+
+class CostVolumeEncoder(nn.Module):
+    """5-level encoder with a cost volume injected after layer1."""
+
+    num_depth_bins: int = 96
+    depth_binning: str = "linear"
+    compute_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, current_image, lookup_images, rel_poses, K, inv_K,
+                 min_depth_bin, max_depth_bin, train: bool = False):
+        """Args mirror the reference forward (resnet_encoder.py:562-707):
+          current_image: (B, H, W, 3) in [0, 1]
+          lookup_images: (B, F, H, W, 3)
+          rel_poses: (B, F, 4, 4)
+          K, inv_K: (B, 4, 4) at 1/4 scale (the reference feeds ("K", 2))
+          min/max_depth_bin: scalars (python or traced — adaptive bins)
+
+        Returns (features list of 5, lowest_cost (B, h, w), confidence_mask
+        (B, h, w)).
+        """
+        extractor = _FeatureExtractor(self.compute_dtype)
+        f0, f1 = extractor(current_image, train)
+
+        b, nf, hh, ww, ch = lookup_images.shape
+        lookup_flat = lookup_images.reshape(b * nf, hh, ww, ch)
+        _, lookup_feats = extractor(lookup_flat, train)
+        lookup_feats = jax.lax.stop_gradient(
+            lookup_feats.reshape(b, nf, *lookup_feats.shape[1:]))
+
+        bins = compute_depth_bins(min_depth_bin, max_depth_bin,
+                                  self.num_depth_bins, self.depth_binning)
+        cost, missing = build_cost_volume(
+            jax.lax.stop_gradient(f1.astype(jnp.float32)),
+            lookup_feats.astype(jnp.float32), rel_poses, K, inv_K,
+            bins.astype(jnp.float32))
+        cost = jax.lax.stop_gradient(cost)
+        missing = jax.lax.stop_gradient(missing)
+
+        observed = ((cost * (1 - missing)) > 0).astype(jnp.float32)
+        confidence = (jnp.sum(observed, axis=1)
+                      == self.num_depth_bins).astype(jnp.float32)
+
+        viz = jnp.where(cost == 0, 100.0, cost)
+        argmin = jnp.argmin(viz, axis=1)
+        lowest_cost = 1.0 / jnp.take(bins, argmin)
+
+        cost_masked = (cost * confidence[:, None]).astype(f1.dtype)
+        # NHWC: volume bins become channels for the reduce conv
+        vol = jnp.transpose(cost_masked, (0, 2, 3, 1))
+        fused = nn.relu(TorchConv(64, 3, padding=1,
+                                  )(jnp.concatenate([f1, vol], axis=-1)))
+        f2 = _layer(fused, 128, 2, 2, train)
+        f3 = _layer(f2, 256, 2, 2, train)
+        f4 = _layer(f3, 512, 2, 2, train)
+        return [f0, f1, f2, f3, f4], lowest_cost, confidence

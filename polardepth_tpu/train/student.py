@@ -1,0 +1,248 @@
+"""ManyDepth teacher-student training path (--train_student).
+
+Capability parity with the reference's multi-frame pipeline
+(trainer.py:569-648 + compute_losses is_multi=True, 1200-1232):
+
+  teacher  : the single-frame PolarDepthNet ("mono") + pose net — trains with
+             the self-supervised (or supervised) losses until
+             freeze_teacher_epoch, then freezes.
+  student  : CostVolumeEncoder + DepthDecoder ("depth") over the current
+             frame + lookup frames warped through GT/predicted relative
+             poses.
+  coupling : consistency loss |student_depth - sg(teacher_depth)| on pixels
+             where the cost volume cannot be trusted (motion / augmentation
+             masks), reprojection loss elsewhere.
+  tricks   : static-camera and zero-cost-volume matching augmentation per
+             sample (trainer.py:587-605), adaptive depth-bin EMA trackers
+             (trainer.py:650-667) carried as part of the train state.
+
+TPU-native: the augmentations are vectorised bernoulli masks (the reference
+loops batch elements with python random); the depth-bin trackers live in the
+train-state pytree so checkpoint/resume is exact; teacher freezing is a
+stop_gradient switch under lax.cond-free static config (re-jit on freeze,
+matching the reference's optimizer rebuild).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from flax import struct
+
+from polardepth_tpu.config import Config
+from polardepth_tpu.models.cost_volume import CostVolumeEncoder
+from polardepth_tpu.models.depth_decoder import DepthDecoder
+from polardepth_tpu.ops.depth import disp_to_depth
+from polardepth_tpu.ops.losses import reprojection_loss, smooth_loss
+from polardepth_tpu.ops.resize import resize_bilinear, resize_nearest
+from polardepth_tpu.train.losses import color_pyramid
+from polardepth_tpu.train.selfsup import (
+    SelfSupModel, generate_images_pred, selfsup_losses,
+)
+
+
+class StudentModel(nn.Module):
+    """Teacher (SelfSupModel) + matching student sharing one param tree."""
+
+    frame_ids: Sequence[int] = (0, -1, 1)
+    matching_ids: Sequence[int] = (0, -1)
+    augment_xolp: bool = True
+    augment_normals: bool = True
+    dropout_rate: float = 0.1
+    scales: Sequence[int] = (0, 1, 2, 3)
+    num_depth_bins: int = 96
+    depth_binning: str = "linear"
+    compute_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, color_frames, pol, lookup_frames, rel_poses,
+                 K_quarter, inv_K_quarter, min_depth_bin, max_depth_bin,
+                 train: bool = False, freeze_teacher: bool = False):
+        """Returns (teacher_out, student_out):
+          teacher_out = (mono disps, poses)
+          student_out = (student disps, lowest_cost, confidence_mask)
+        """
+        teacher = SelfSupModel(
+            self.frame_ids, self.augment_xolp, self.augment_normals,
+            self.dropout_rate, tuple(self.scales),
+            compute_dtype=self.compute_dtype, name="teacher")
+        disps, poses = teacher(color_frames, pol=pol, train=train and
+                               not freeze_teacher)
+        if freeze_teacher:
+            disps = jax.tree_util.tree_map(jax.lax.stop_gradient, disps)
+            poses = jax.tree_util.tree_map(jax.lax.stop_gradient, poses)
+
+        encoder = CostVolumeEncoder(
+            self.num_depth_bins, self.depth_binning, self.compute_dtype,
+            name="encoder")
+        feats, lowest_cost, confidence = encoder(
+            color_frames[:, 0], lookup_frames, rel_poses, K_quarter,
+            inv_K_quarter, min_depth_bin, max_depth_bin, train)
+        student_disps = DepthDecoder(tuple(self.scales), name="depth")(feats)
+        return (disps, poses), (student_disps, lowest_cost, confidence)
+
+
+def matching_augmentation(rng: jax.Array, color_frames: jnp.ndarray,
+                          lookup_frames: jnp.ndarray,
+                          rel_poses: jnp.ndarray):
+    """Static-camera / zero-cost-volume augmentation (trainer.py:587-605):
+    with p=0.25 replace the lookup frames by the current frame; with p=0.25
+    zero the relative poses (cost volume skips them).  Returns
+    (lookup_frames, rel_poses, augmentation_mask (B,1,1,1))."""
+    b = lookup_frames.shape[0]
+    u = jax.random.uniform(rng, (b,))
+    static = u < 0.25
+    zeroed = (u >= 0.25) & (u < 0.5)
+    cur = jnp.broadcast_to(color_frames[:, 0:1], lookup_frames.shape)
+    lookup = jnp.where(static[:, None, None, None, None], cur, lookup_frames)
+    poses = jnp.where(zeroed[:, None, None, None],
+                      jnp.zeros_like(rel_poses), rel_poses)
+    aug_mask = (static | zeroed).astype(jnp.float32)[:, None, None, None]
+    return lookup, poses, aug_mask
+
+
+def compute_matching_mask(cfg: Config, lowest_cost: jnp.ndarray,
+                          mono_depth0: jnp.ndarray) -> jnp.ndarray:
+    """Trust mask: cost-volume argmin depth within 100% of the teacher's
+    (trainer.py:1112-1124).  lowest_cost is a *disparity* at 1/4 res."""
+    h, w = cfg.height, cfg.width
+    matching_depth = 1.0 / resize_nearest(
+        lowest_cost[..., None], (h, w))
+    mono = jax.lax.stop_gradient(mono_depth0)
+    m = ((matching_depth - mono) / mono) < 1.0
+    m = m & (((mono - matching_depth) / matching_depth) < 1.0)
+    return m.astype(jnp.float32)
+
+
+def student_losses(cfg: Config, rng: jax.Array, student_disps: dict,
+                   warped: dict, depths: dict, mono_depths: dict,
+                   consistency_mask: jnp.ndarray,
+                   aug_mask: jnp.ndarray, batch: dict):
+    """is_multi=True loss assembly (trainer.py:1126-1296): reprojection on
+    trusted pixels, consistency |multi - sg(mono)| on the rest, smoothness."""
+    color0 = batch["color"]
+    pyr = color_pyramid(color0, cfg.scales)
+    frames = [f for f in cfg.frame_ids if f != 0]
+
+    logs = {}
+    total = 0.0
+    for s in cfg.scales:
+        reproj = jnp.min(jnp.concatenate(
+            [reprojection_loss(warped[("color", f, s)], color0,
+                               not cfg.no_ssim) for f in frames],
+            axis=-1), axis=-1, keepdims=True)
+        mask = jnp.ones_like(reproj)
+        if not cfg.disable_motion_masking:
+            mask = mask * consistency_mask
+        if not cfg.no_matching_augmentation:
+            mask = mask * (1.0 - aug_mask)
+        cons_mask = 1.0 - mask
+
+        loss_s = jnp.sum(reproj * mask) / (jnp.sum(mask) + 1e-7)
+        logs[f"reproj_loss/{s}"] = loss_s
+
+        consistency = jnp.abs(
+            depths[("depth", 0, s)]
+            - jax.lax.stop_gradient(mono_depths[("depth", 0, s)])) * cons_mask
+        consistency = jnp.mean(consistency)
+        logs[f"consistency_loss/{s}"] = consistency
+        loss_s = loss_s + consistency
+
+        disp = student_disps[("disp", s)]
+        mean_disp = jnp.mean(disp, axis=(1, 2), keepdims=True)
+        loss_s = loss_s + cfg.disparity_smoothness * smooth_loss(
+            disp / (mean_disp + 1e-7), pyr[s]) / (2 ** s)
+
+        logs[f"loss/{s}"] = loss_s
+        total = total + loss_s
+
+    total = total / cfg.num_scales
+    logs["loss"] = total
+    return total, logs
+
+
+def update_depth_bin_trackers(min_tracker, max_tracker, mono_depth0,
+                              floor: float):
+    """EMA trackers of the teacher's depth range (trainer.py:650-667)."""
+    mn = jnp.mean(jnp.min(mono_depth0, axis=(1, 2, 3)))
+    mx = jnp.mean(jnp.max(mono_depth0, axis=(1, 2, 3)))
+    mn = jnp.maximum(floor, mn * 0.9)
+    mx = mx * 1.1
+    return min_tracker * 0.99 + mn * 0.01, max_tracker * 0.99 + mx * 0.01
+
+
+def make_student_train_step(model: StudentModel, cfg: Config,
+                            freeze_teacher: bool = False):
+    """Jitted teacher+student step.  Carries (min_bin, max_bin) trackers as
+    explicit scalars so they live in the caller's state pytree."""
+    needs_pol = cfg.augment_xolp or cfg.augment_normals
+
+    def step(state, trackers, batch: dict, rng: jax.Array):
+        min_bin, max_bin = trackers
+        rng = jax.random.fold_in(rng, state.step)
+        k_aug, k_noise, k_drop = jax.random.split(rng, 3)
+        color_frames = batch["color_frames"].astype(jnp.float32) / 255.0
+        matching_idx = [list(cfg.frame_ids).index(f)
+                        for f in (-1,)]  # matching_ids[1:]
+        lookup = color_frames[:, matching_idx]
+        rel = batch["rel_poses"][:, matching_idx]
+        if not cfg.no_matching_augmentation:
+            lookup, rel, aug_mask = matching_augmentation(
+                k_aug, color_frames, lookup, rel)
+        else:
+            aug_mask = jnp.zeros((lookup.shape[0], 1, 1, 1), jnp.float32)
+
+        K4 = batch["K"].at[:, 0].multiply(0.25).at[:, 1].multiply(0.25)
+        inv_K4 = jnp.linalg.inv(K4)
+        pb = {"color": color_frames[:, 0],
+              "color_frames": batch["color_frames"], "K": batch["K"]}
+        if cfg.depth_supervision:
+            pb["depth"] = batch["depth"].astype(jnp.float32)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            ((disps, poses), (sdisps, lowest, conf)), mut = model.apply(
+                variables, color_frames,
+                batch["pol"].astype(jnp.float32) if needs_pol else None,
+                lookup, rel, K4, inv_K4, min_bin, max_bin,
+                train=True, freeze_teacher=freeze_teacher,
+                rngs={"dropout": k_drop}, mutable=["batch_stats"])
+
+            # teacher losses (mono path)
+            warped_t, depths_t = generate_images_pred(
+                cfg, disps, poses, color_frames, batch["K"], batch["inv_K"])
+            t_loss, t_logs = selfsup_losses(cfg, k_noise, disps, warped_t,
+                                            depths_t, pb)
+
+            # student losses (multi path) — reuses the teacher's poses
+            warped_s, depths_s = generate_images_pred(
+                cfg, sdisps, poses, color_frames, batch["K"], batch["inv_K"])
+            conf_full = resize_nearest(
+                conf[..., None], (cfg.height, cfg.width))
+            cons_mask = conf_full
+            if not cfg.disable_motion_masking:
+                cons_mask = cons_mask * compute_matching_mask(
+                    cfg, lowest, depths_t[("depth", 0, 0)])
+            s_loss, s_logs = student_losses(
+                cfg, k_noise, sdisps, warped_s, depths_s, depths_t,
+                cons_mask, aug_mask, pb)
+
+            loss = s_loss + (0.0 if freeze_teacher else t_loss)
+            logs = {f"mono_{k}": v for k, v in t_logs.items()}
+            logs.update(s_logs)
+            logs["loss"] = loss
+            return loss, (logs, mut, depths_t[("depth", 0, 0)])
+
+        grads, (logs, mut, mono_d0) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(
+            grads=grads, batch_stats=mut["batch_stats"])
+        if not freeze_teacher:
+            trackers = update_depth_bin_trackers(
+                min_bin, max_bin, mono_d0, cfg.min_depth)
+        return new_state, trackers, logs
+
+    return step
