@@ -40,6 +40,7 @@ class PolarDepthNet(nn.Module):
     compute_dtype: str = "float32"  # "bfloat16" = MXU fast path; the XOLP
     # fit, Fresnel inversion and disparity heads always stay float32.
     use_pallas: bool = True  # fused polar-preprocess kernel on TPU backends
+    use_attention: bool = False  # arch1++: cross-modal attention at fusion
 
     @nn.compact
     def __call__(self, color: jnp.ndarray,
@@ -83,7 +84,17 @@ class PolarDepthNet(nn.Module):
             normals_feats = ShallowNormalsEncoder(
                 self.dropout_rate, self.refraction_index, cd,
                 name="normals_encoder")(xolp, train, priors=priors)
+        rgb_fused = rgb_feats[-1]
+        if self.use_attention and (xolp_feats is not None
+                                   or normals_feats is not None):
+            from polardepth_tpu.models.attention import CrossModalAttention
+            pol_feats = jnp.concatenate(
+                [f for f in (xolp_feats, normals_feats) if f is not None],
+                axis=-1)
+            rgb_fused = CrossModalAttention(
+                d_model=rgb_fused.shape[-1],
+                name="cross_modal_attention")(rgb_fused, pol_feats)
         joint = JointEncoder(self.dropout_rate, name="joint_encoder")(
-            rgb_feats[-1], xolp_feats, normals_feats, train)
+            rgb_fused, xolp_feats, normals_feats, train)
         return DepthDecoder(tuple(self.scales), name="mono_depth")(
             rgb_feats + joint)

@@ -53,6 +53,8 @@ def build_model(cfg: Config) -> PolarDepthNet:
         scales=tuple(cfg.scales),
         refraction_index=cfg.refraction_index,
         compute_dtype=cfg.compute_dtype,
+        use_pallas=cfg.use_pallas,
+        use_attention=cfg.use_attention,
     )
 
 
