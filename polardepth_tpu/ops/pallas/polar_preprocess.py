@@ -96,7 +96,15 @@ def _tables(n: float, prune_tol: float | None):
         base[0 + ci] = fi._base[3 * ci + 0]
         base[3 + ci] = fi._base[3 * ci + 1]
         base[6 + ci] = fi._base[3 * ci + 2]
-    return (knots.astype(np.float32), V.astype(np.float32),
+    # Split V into exactly-bf16-representable hi + lo parts: the MXU's
+    # default bf16 multiply is then *exact* for both passes (the lhs is a
+    # 0/1 matrix), recovering f32 precision from two default-precision dots
+    # without the HIGHEST-precision emulation path.
+    import ml_dtypes
+    V32 = V.astype(np.float32)
+    V_hi = V32.astype(ml_dtypes.bfloat16).astype(np.float32)
+    V_lo = (V32 - V_hi).astype(np.float32)
+    return (knots.astype(np.float32), V_hi, V_lo,
             tuple(np.float32(v) for v in base),
             tuple(np.float32(v) for v in fi._last_knot),
             tuple(tuple(np.float32(v) for v in row) for row in fi._last_seg))
@@ -105,7 +113,7 @@ def _tables(n: float, prune_tol: float | None):
 def _make_kernel(base, last_knot, last_seg):
     w = [[np.float32(v) for v in row] for row in _PINV]
 
-    def kernel(pol_ref, knots_ref, v_ref, out_ref):
+    def kernel(pol_ref, knots_ref, v_hi_ref, v_lo_ref, out_ref):
         pol = pol_ref[:].astype(jnp.float32)  # (TILE, 4)
         p = [pol[:, i:i + 1] for i in range(4)]
         a = p[0] * w[0][0] + p[1] * w[0][1] + p[2] * w[0][2] + p[3] * w[0][3]
@@ -117,7 +125,13 @@ def _make_kernel(base, last_knot, last_seg):
         phi = 0.5 * _atan2(c, b)                           # (TILE, 1)
 
         g = (rho >= knots_ref[:].reshape(1, -1)).astype(jnp.float32)
-        params = jnp.dot(g, v_ref[:], preferred_element_type=jnp.float32)
+        # Two default-precision dots against the exact hi/lo bf16 split of V
+        # (see _tables): both multiplies are exact on the MXU, so the sum
+        # recovers f32-accurate segment parameters without HIGHEST-precision
+        # emulation.
+        params = (jnp.dot(g, v_hi_ref[:], preferred_element_type=jnp.float32)
+                  + jnp.dot(g, v_lo_ref[:],
+                            preferred_element_type=jnp.float32))
 
         thetas = []
         for ci in range(3):
@@ -163,7 +177,7 @@ def fused_polar_preprocess(pol: jnp.ndarray, n: float = 1.5,
             [flat, jnp.ones((pad, 4), jnp.float32)], axis=0)
     Pp = flat.shape[0]
 
-    knots, V, base, last_knot, last_seg = _tables(float(n), prune_tol)
+    knots, V_hi, V_lo, base, last_knot, last_seg = _tables(float(n), prune_tol)
     kernel = _make_kernel(base, last_knot, last_seg)
 
     out = pl.pallas_call(
@@ -176,12 +190,14 @@ def fused_polar_preprocess(pol: jnp.ndarray, n: float = 1.5,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((knots.shape[0], OUT_CH), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((knots.shape[0], OUT_CH), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TILE, OUT_CH), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Pp, OUT_CH), jnp.float32),
         interpret=interpret,
-    )(flat, jnp.asarray(knots), jnp.asarray(V))
+    )(flat, jnp.asarray(knots), jnp.asarray(V_hi), jnp.asarray(V_lo))
 
     out = out[:P]
     xolp = out[:, 0:2].reshape(*shape, 2)
