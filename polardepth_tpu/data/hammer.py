@@ -80,11 +80,21 @@ class HammerIndex:
 
 
 class HammerLoader:
-    """Loads raw samples by index; host work is PNG decode only."""
+    """Loads raw samples by index; host work is PNG decode only.
 
-    def __init__(self, index: HammerIndex):
+    backend='native' decodes through the C++ libpng thread pool
+    (polardepth_tpu.runtime) — GIL-free batch decode of the 8 per-frame
+    PNGs; 'cv2' is the pure-Python fallback.
+    """
+
+    def __init__(self, index: HammerIndex, backend: str = "cv2",
+                 nthreads: int = 8):
         self.index = index
         self._intrinsics_cache: dict[str, np.ndarray] = {}
+        self._native = None
+        if backend == "native":
+            from polardepth_tpu.runtime.native import NativePngDecoder
+            self._native = NativePngDecoder(nthreads)
 
     def _normalized_intrinsics(self, base: str) -> np.ndarray:
         if base not in self._intrinsics_cache:
@@ -107,17 +117,30 @@ class HammerLoader:
         base, idx = self.index.entries[i]
         j = idx + frame_id * self.index.offset
         name = f"{j:06d}.png"
-        import cv2
-        rgb = _read_png(os.path.join(base, HammerIndex.SUBDIR_RGB, name),
-                        cv2.IMREAD_COLOR)[..., ::-1]  # BGR->RGB
-        pol = np.stack([
-            _read_png(os.path.join(base, d, name), cv2.IMREAD_GRAYSCALE)
-            for d in HammerIndex.SUBDIR_POL], axis=-1)
-        mask = _read_png(os.path.join(base, "_instance", name),
-                         cv2.IMREAD_GRAYSCALE).astype(np.int32)
-        depth_gt = _read_png(os.path.join(base, "_gt", name))
-        depth_sup = _read_png(
-            os.path.join(base, self.index.depth_modality, name))
+        if self._native is not None:
+            nd = self._native
+            rgb = nd.decode(os.path.join(base, HammerIndex.SUBDIR_RGB, name))
+            pol_paths = [os.path.join(base, d, name)
+                         for d in HammerIndex.SUBDIR_POL]
+            h, w = rgb.shape[:2]
+            pol = np.moveaxis(nd.decode_batch(pol_paths, (h, w), 1), 0, -1)
+            mask = nd.decode(os.path.join(base, "_instance",
+                                          name)).astype(np.int32)
+            depth_gt = nd.decode(os.path.join(base, "_gt", name))
+            depth_sup = nd.decode(
+                os.path.join(base, self.index.depth_modality, name))
+        else:
+            import cv2
+            rgb = _read_png(os.path.join(base, HammerIndex.SUBDIR_RGB, name),
+                            cv2.IMREAD_COLOR)[..., ::-1]  # BGR->RGB
+            pol = np.stack([
+                _read_png(os.path.join(base, d, name), cv2.IMREAD_GRAYSCALE)
+                for d in HammerIndex.SUBDIR_POL], axis=-1)
+            mask = _read_png(os.path.join(base, "_instance", name),
+                             cv2.IMREAD_GRAYSCALE).astype(np.int32)
+            depth_gt = _read_png(os.path.join(base, "_gt", name))
+            depth_sup = _read_png(
+                os.path.join(base, self.index.depth_modality, name))
         pose = self._pose(base, j)
         return {
             "color": np.ascontiguousarray(rgb),
