@@ -88,7 +88,13 @@ class Config:
     # ---- TPU execution ------------------------------------------------------
     compute_dtype: str = "float32"   # "bfloat16" for the fast path
     mesh_shape: Sequence[int] = (-1,)  # -1: all devices on the 'data' axis
-    use_pallas: bool = True          # fused Pallas preprocessing kernels
+    # Fused Pallas preprocessing kernel.  Off by default: on the current
+    # axon-tunneled v5e the Mosaic compile of this kernel hangs
+    # nondeterministically for some grid sizes (and a killed compile wedges
+    # the whole device for ~1 h); the XLA fused-matmul Fresnel path
+    # (ops/fresnel.py FusedPiecewiseInterp) is stable and nearly as fast.
+    # The kernel stays fully tested in interpreter mode.
+    use_pallas: bool = False
     donate_state: bool = True
     seed: int = 42
 

@@ -98,6 +98,69 @@ class SelfSupModel(nn.Module):
         return disps, poses
 
 
+class MatchingPoseNet(nn.Module):
+    """Chained no-grad pose prediction for the cost-volume lookup frames
+    (reference predict_poses matching branch, trainer.py:708-746): poses are
+    composed along consecutive pairs (0->-1, -1->-2, ...), blank frames get
+    a zero pose (which the cost volume then skips via its validity mask)."""
+
+    compute_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, color_frames, frame_ids, matching_ids,
+                 train: bool = False):
+        pose_net = PoseNet(self.compute_dtype, name="pose_net")
+        idx_of = {f: i for i, f in enumerate(frame_ids)}
+        rel = {}
+        for fi in matching_ids:
+            if fi == 0:
+                continue
+            if fi < 0:
+                a, b = color_frames[:, idx_of[fi]], \
+                    color_frames[:, idx_of[fi + 1]]
+                aa, t = pose_net(a, b, train)
+                pose = transformation_from_parameters(aa[:, 0], t[:, 0],
+                                                      invert=True)
+                if fi != -1:
+                    pose = jnp.einsum("bij,bjk->bik", pose, rel[fi + 1])
+            else:
+                a, b = color_frames[:, idx_of[fi - 1]], \
+                    color_frames[:, idx_of[fi]]
+                aa, t = pose_net(a, b, train)
+                pose = transformation_from_parameters(aa[:, 0], t[:, 0],
+                                                      invert=False)
+                if fi != 1:
+                    pose = jnp.einsum("bij,bjk->bik", pose, rel[fi - 1])
+            # blank-frame masking (trainer.py:740-743)
+            valid = (jnp.sum(jnp.abs(color_frames[:, idx_of[fi]]),
+                             axis=(1, 2, 3)) > 0).astype(pose.dtype)
+            rel[fi] = jax.lax.stop_gradient(pose * valid[:, None, None])
+        return rel
+
+
+def predict_residual_poses(model_apply, variables, cfg: Config,
+                           warped: dict, color0: jnp.ndarray,
+                           train: bool = False):
+    """res_pose refinement (trainer.py:680-707, 548-565): run the pose net
+    again on [warped source, target] pairs to estimate residual poses.
+
+    model_apply: a bound PoseNet apply (params shared with the main pose
+    net).  Returns {frame_id: residual T}.
+    """
+    res = {}
+    for f in cfg.frame_ids:
+        if f == 0:
+            continue
+        w = warped[("color", f, 0)]
+        if f < 0:
+            aa, t = model_apply(variables, w, color0, train)
+        else:
+            aa, t = model_apply(variables, color0, w, train)
+        res[f] = transformation_from_parameters(aa[:, 0], t[:, 0],
+                                                invert=(f < 0))
+    return res
+
+
 def generate_images_pred(cfg: Config, disps: dict, poses: dict,
                          color_frames: jnp.ndarray, K: jnp.ndarray,
                          inv_K: jnp.ndarray):

@@ -95,3 +95,37 @@ def test_selfsup_train_step_runs_and_improves(supervise):
         # pure photometric loss on near-identical frames is tiny and noisy;
         # just require it stays bounded
         assert losses[-1] < losses[0] * 3 + 1e-3
+
+
+def test_matching_pose_net_chains_and_masks():
+    from polardepth_tpu.train.selfsup import MatchingPoseNet
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.uniform(0, 1, (2, 3, H, W, 3)).astype(np.float32))
+    # blank the -1 frame of sample 1
+    frames = frames.at[1, 1].set(0.0)
+    m = MatchingPoseNet()
+    vars_ = m.init(jax.random.PRNGKey(0), frames, (0, -1, 1), (0, -1))
+    rel = m.apply(vars_, frames, (0, -1, 1), (0, -1))
+    assert set(rel.keys()) == {-1}
+    p = np.asarray(rel[-1])
+    assert p.shape == (2, 4, 4)
+    assert np.abs(p[0]).sum() > 0          # valid frame -> real pose
+    np.testing.assert_allclose(p[1], 0.0)  # blank frame -> zero pose
+
+
+def test_residual_pose_prediction():
+    from polardepth_tpu.train.selfsup import (
+        PoseNet, predict_residual_poses)
+    cfg = Config(height=H, width=W, batch_size=1, frame_ids=(0, 1),
+                 depth_supervision_only=False, depth_supervision=False)
+    rng = np.random.default_rng(1)
+    color0 = jnp.asarray(rng.uniform(0, 1, (1, H, W, 3)).astype(np.float32))
+    warped = {("color", 1, 0): jnp.asarray(
+        rng.uniform(0, 1, (1, H, W, 3)).astype(np.float32))}
+    net = PoseNet()
+    vars_ = net.init(jax.random.PRNGKey(0), color0, color0)
+    res = predict_residual_poses(net.apply, vars_, cfg, warped, color0)
+    assert res[1].shape == (1, 4, 4)
+    # valid SE(3): rotation orthonormal
+    R = np.asarray(res[1])[0, :3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
