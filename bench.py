@@ -42,6 +42,9 @@ def measure_fps(iters=ITERS, batch=BATCH, chain=16) -> float:
     semantics where block_until_ready returns early.
     """
     import jax
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from polardepth_tpu.config import Config
     from polardepth_tpu.train.trainer import build_model, make_infer_step
@@ -59,7 +62,10 @@ def measure_fps(iters=ITERS, batch=BATCH, chain=16) -> float:
     @jax.jit
     def chained(state, b):
         def body(carry, i):
-            bi = {"color": b["color"] + i.astype(jnp.uint8), "pol": b["pol"]}
+            # every input must depend on the scan index, or XLA hoists the
+            # loop-invariant preprocessing out of the scan and the timing lies
+            bi = {"color": b["color"] + i.astype(jnp.uint8),
+                  "pol": b["pol"] + i.astype(jnp.uint8)}
             return carry + jnp.sum(infer(state, bi)), None
         total, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(chain))
         return total
