@@ -21,6 +21,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -84,10 +85,30 @@ def resize_nearest(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     return x
 
 
+def _up2_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Exact x2 bilinear (align_corners=False) along one axis as a 2-tap
+    stencil: dst[2i] = 0.25 src[i-1] + 0.75 src[i] (edge-clamped),
+    dst[2i+1] = 0.75 src[i] + 0.25 src[i+1].  Equivalent to the dense-matmul
+    weights but pure VPU shift-adds — the decoder runs this at full
+    resolution with 16 channels, where a dense matmul wastes the MXU."""
+    prev = jnp.concatenate(
+        [jax.lax.slice_in_dim(x, 0, 1, axis=axis),
+         jax.lax.slice_in_dim(x, 0, x.shape[axis] - 1, axis=axis)], axis=axis)
+    nxt = jnp.concatenate(
+        [jax.lax.slice_in_dim(x, 1, x.shape[axis], axis=axis),
+         jax.lax.slice_in_dim(x, x.shape[axis] - 1, x.shape[axis],
+                              axis=axis)], axis=axis)
+    even = 0.25 * prev + 0.75 * x
+    odd = 0.75 * x + 0.25 * nxt
+    stacked = jnp.stack([even, odd], axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] *= 2
+    return stacked.reshape(shape)
+
+
 def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     """Bilinear x2 upsample, align_corners=False (reference layers.upsample)."""
-    _, h, w, _ = x.shape
-    return resize_bilinear(x, (2 * h, 2 * w), align_corners=False)
+    return _up2_axis(_up2_axis(x, 1), 2)
 
 
 def resize_antialias(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:

@@ -114,8 +114,12 @@ def test_data_parallel_8_devices_matches_single_device():
     l1 = t1.train_epoch([batch])["loss"]
     l8 = t8.train_epoch([batch])["loss"]
     np.testing.assert_allclose(l1, l8, rtol=1e-4)
-    # parameters after the step agree too
+    # Post-step parameters: Adam's first step is update = -lr * g/(|g|+eps),
+    # so coordinates with g ~ 0 amplify cross-device f32 reduction-order
+    # noise to +-lr.  A 2*lr atol still catches any real sharding bug
+    # (which diverges at O(weight) scale), without flaking on sign flips.
+    lr = cfg.learning_rate
     p1 = jax.tree_util.tree_leaves(jax.device_get(t1.state.params))
     p8 = jax.tree_util.tree_leaves(jax.device_get(t8.state.params))
     for a, b in zip(p1, p8):
-        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(a, b, rtol=1e-2, atol=2.0 * lr)
