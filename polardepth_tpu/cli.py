@@ -20,6 +20,15 @@ import numpy as np
 from polardepth_tpu.config import Config
 
 
+def _bool(v) -> bool:
+    """Proper boolean flag parsing (argparse's type=bool treats any
+    non-empty string as True — the reference inherits that bug from its
+    options.py; we don't)."""
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() in ("1", "true", "yes", "y", "t")
+
+
 def _add_common_flags(p: argparse.ArgumentParser) -> None:
     d = Config()
     p.add_argument("--data_path", type=str, default=d.data_path)
@@ -56,10 +65,18 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                    action="store_false")
     p.add_argument("--use_attention", action="store_true",
                    default=d.use_attention)
-    p.add_argument("--depth_supervision", type=bool,
+    p.add_argument("--depth_supervision", type=_bool,
                    default=d.depth_supervision)
-    p.add_argument("--depth_supervision_only", type=bool,
+    p.add_argument("--depth_supervision_only", type=_bool,
                    default=d.depth_supervision_only)
+    p.add_argument("--train_student", action="store_true",
+                   default=d.train_student)
+    p.add_argument("--train_dpt", action="store_true", default=d.train_dpt)
+    p.add_argument("--midas", action="store_true", default=False)
+    p.add_argument("--num_depth_bins", type=int, default=d.num_depth_bins)
+    p.add_argument("--depth_binning", type=str, default=d.depth_binning)
+    p.add_argument("--freeze_teacher_epoch", type=int,
+                   default=d.freeze_teacher_epoch)
     p.add_argument("--compute_dtype", type=str, default=d.compute_dtype)
     p.add_argument("--checkpoint_dir", type=str, default=d.checkpoint_dir)
     p.add_argument("--overfit", action="store_true", default=False)
@@ -119,18 +136,162 @@ def _make_data(cfg: Config, a, part: str):
     return (lambda: iter(it)), max(len(it), 1)
 
 
+def _make_multiframe_data(cfg: Config, a, part: str):
+    """Multi-frame batches (color_frames + rel_poses) for the
+    self-supervised / teacher-student paths."""
+    from polardepth_tpu.data.pipeline import BatchIterator
+    frame_ids = tuple(cfg.frame_ids)
+    if a.synthetic:
+        from polardepth_tpu.data.synthetic import SyntheticHammer
+        gen = SyntheticHammer(cfg.height, cfg.width, seed=cfg.seed)
+        n_batches = max(a.synthetic // cfg.batch_size, 1)
+
+        def make():
+            for b in range(n_batches):
+                yield gen.batch_frames(cfg.batch_size, frame_ids,
+                                       cfg.offset, start=b * cfg.batch_size)
+        return make, n_batches
+
+    from polardepth_tpu.data.hammer import HammerIndex, HammerLoader, read_split
+    splits_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "splits")
+    scenes = ([cfg.overfit_scene] if cfg.overfit and cfg.overfit_scene
+              else read_split(splits_dir, cfg.split, part))
+    index = HammerIndex(cfg.data_path, scenes, frame_ids, cfg.offset,
+                        cfg.modality, cfg.depth_modality)
+    loader = HammerLoader(index)
+
+    def load(i):
+        i = int(i)
+        base, center = index.entries[i]
+        s0 = loader.load(i, 0)
+        frames = [s0["color"]]
+        rels = [np.eye(4, dtype=np.float32)]
+        for f in frame_ids:
+            if f == 0:
+                continue
+            sf = loader.load(i, f)
+            frames.append(sf["color"])
+            rels.append(loader.relative_pose(
+                base, center + f * cfg.offset, center))
+        s0["color_frames"] = np.stack(frames)
+        s0["rel_poses"] = np.stack(rels)
+        s0["K"] = loader.intrinsics_for(base, cfg.width, cfg.height)
+        s0["inv_K"] = np.linalg.pinv(s0["K"]).astype(np.float32)
+        return s0
+
+    it = BatchIterator(load, len(index), cfg.batch_size,
+                       shuffle=(part == "train"), seed=cfg.seed)
+    return (lambda: iter(it)), max(len(it), 1)
+
+
+def _train_alternative_path(cfg: Config, a, writer) -> int:
+    """Self-supervised / teacher-student / DPT training loops (the
+    reference's flag-selected model graphs, trainer.py:141-236)."""
+    import jax
+    import jax.numpy as jnp
+    from polardepth_tpu.train.state import create_train_state, step_lr_schedule
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    h, w = cfg.height, cfg.width
+
+    if cfg.train_dpt:
+        from polardepth_tpu.models.dpt import DPTDepthModel, MidasNet
+        from polardepth_tpu.train.dpt_trainer import make_dpt_train_step
+        model = MidasNet() if a.midas else DPTDepthModel(backbone="vitb16")
+        data_fn, spe = _make_data(cfg, a, "train")
+        example = {"x": jnp.zeros((1, h, w, 3), jnp.float32)}
+        state = create_train_state(
+            model, {"params": rng, "dropout": rng}, example,
+            step_lr_schedule(cfg.learning_rate, spe, cfg.scheduler_step_size,
+                             cfg.scheduler_gamma, cfg.num_epochs))
+        step = jax.jit(make_dpt_train_step(model, cfg))
+        for e in range(cfg.num_epochs):
+            for batch in data_fn():
+                state, logs = step(state, batch, rng)
+            writer.scalars("train", e, {"loss": float(logs["loss"])})
+            print(f"epoch {e}: dpt loss={float(logs['loss']):.5f}")
+        return 0
+
+    if cfg.train_student:
+        from polardepth_tpu.train.student import (
+            StudentModel, make_student_train_step)
+        model = StudentModel(
+            frame_ids=tuple(cfg.frame_ids), augment_xolp=cfg.augment_xolp,
+            augment_normals=cfg.augment_normals,
+            dropout_rate=cfg.dropout_rate, scales=tuple(cfg.scales),
+            num_depth_bins=cfg.num_depth_bins,
+            depth_binning=cfg.depth_binning,
+            compute_dtype=cfg.compute_dtype)
+        data_fn, spe = _make_multiframe_data(cfg, a, "train")
+        nf = len(cfg.frame_ids)
+        example = {
+            "color_frames": jnp.zeros((1, nf, h, w, 3), jnp.float32),
+            "pol": jnp.zeros((1, h, w, 4), jnp.float32),
+            "lookup_frames": jnp.zeros((1, 1, h, w, 3), jnp.float32),
+            "rel_poses": jnp.zeros((1, 1, 4, 4), jnp.float32),
+            "K_quarter": jnp.eye(4)[None].astype(jnp.float32),
+            "inv_K_quarter": jnp.eye(4)[None].astype(jnp.float32),
+            "min_depth_bin": cfg.min_depth, "max_depth_bin": cfg.max_depth,
+        }
+        state = create_train_state(
+            model, {"params": rng, "dropout": rng}, example,
+            step_lr_schedule(cfg.learning_rate, spe, cfg.scheduler_step_size,
+                             cfg.scheduler_gamma, cfg.num_epochs))
+        trackers = (jnp.float32(cfg.min_depth), jnp.float32(cfg.max_depth))
+        step = jax.jit(make_student_train_step(model, cfg))
+        step_frozen = jax.jit(make_student_train_step(model, cfg,
+                                                      freeze_teacher=True))
+        for e in range(cfg.num_epochs):
+            s = step_frozen if (0 <= cfg.freeze_teacher_epoch <= e) else step
+            for batch in data_fn():
+                state, trackers, logs = s(state, trackers, batch, rng)
+            writer.scalars("train", e, {"loss": float(logs["loss"])})
+            print(f"epoch {e}: student loss={float(logs['loss']):.5f}")
+        return 0
+
+    # self-supervised (optionally + depth supervision) mono path
+    from polardepth_tpu.train.selfsup import (
+        SelfSupModel, make_selfsup_train_step)
+    model = SelfSupModel(
+        frame_ids=tuple(cfg.frame_ids), augment_xolp=cfg.augment_xolp,
+        augment_normals=cfg.augment_normals, dropout_rate=cfg.dropout_rate,
+        scales=tuple(cfg.scales), compute_dtype=cfg.compute_dtype)
+    data_fn, spe = _make_multiframe_data(cfg, a, "train")
+    nf = len(cfg.frame_ids)
+    example = {"color_frames": jnp.zeros((1, nf, h, w, 3), jnp.float32),
+               "pol": jnp.zeros((1, h, w, 4), jnp.float32)}
+    state = create_train_state(
+        model, {"params": rng, "dropout": rng}, example,
+        step_lr_schedule(cfg.learning_rate, spe, cfg.scheduler_step_size,
+                         cfg.scheduler_gamma, cfg.num_epochs))
+    step = jax.jit(make_selfsup_train_step(model, cfg))
+    for e in range(cfg.num_epochs):
+        for batch in data_fn():
+            state, logs = step(state, batch, rng)
+        writer.scalars("train", e, {"loss": float(logs["loss"])})
+        print(f"epoch {e}: selfsup loss={float(logs['loss']):.5f}")
+    return 0
+
+
 def cmd_train(argv) -> int:
     p = argparse.ArgumentParser("polardepth train")
     _add_common_flags(p)
     a = p.parse_args(argv)
     cfg = _config_from_args(a)
-    from polardepth_tpu.train.trainer import Trainer
     from polardepth_tpu.utils.logging import MetricWriter
 
-    train_fn, spe = _make_data(cfg, a, "train")
-    eval_fn, _ = _make_data(cfg, a, "val" if not a.synthetic else "train")
     log_dir = os.path.join(cfg.log_dir, cfg.model_name)
     writer = MetricWriter(log_dir)
+
+    if cfg.train_dpt or cfg.train_student or not cfg.depth_supervision_only:
+        rc = _train_alternative_path(cfg, a, writer)
+        writer.close()
+        return rc
+
+    from polardepth_tpu.train.trainer import Trainer
+    train_fn, spe = _make_data(cfg, a, "train")
+    eval_fn, _ = _make_data(cfg, a, "val" if not a.synthetic else "train")
     trainer = Trainer(cfg, steps_per_epoch=spe)
     ckpt_dir = cfg.checkpoint_dir or os.path.join(log_dir, "checkpoints")
     results = trainer.fit(train_fn, eval_fn, cfg.num_epochs, ckpt_dir)

@@ -118,3 +118,30 @@ def test_cli_smoke(tmp_path, cmd):
         capture_output=True, text=True, timeout=1200, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert out.returncode == 0, out.stderr[-2000:]
+
+
+def test_cli_bool_parsing():
+    from polardepth_tpu.cli import _bool
+    assert _bool("False") is False and _bool("true") is True
+    assert _bool("0") is False and _bool("1") is True
+
+
+@pytest.mark.parametrize("extra", [
+    ["--depth_supervision_only", "False", "--depth_supervision", "False",
+     "--num_epochs", "1"],
+])
+def test_cli_selfsup_smoke(tmp_path, extra):
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    cmd = ["train", "--synthetic", "2", "--batch_size", "2", "--height",
+           "32", "--width", "32", "--dropout_rate", "0.0",
+           "--log_dir", str(tmp_path)] + extra
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu'); "
+         "jax.config.update('jax_compilation_cache_dir', '.jax_cache'); "
+         "from polardepth_tpu.cli import main; "
+         f"raise SystemExit(main({cmd!r}))"],
+        capture_output=True, text=True, timeout=1500, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr[-2000:]
