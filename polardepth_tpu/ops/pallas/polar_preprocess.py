@@ -1,6 +1,16 @@
 """Fused Pallas kernel: 4 polarizer captures -> XOLP + 9-channel Fresnel
 normal priors, one VMEM-resident pass.
 
+STATUS (round 1, axon-tunneled v5e): kernel semantics are correct in
+interpreter mode (tests/test_pallas_preprocess.py), but the Mosaic path on
+this axon stack is unusable — ~245 s compiles, numerically wrong output
+(errors O(1) where interpret mode matches to 1e-5), and slower execution
+than the XLA compare-matrix path (57 ms vs ~5 ms at 8x512x512).  Killing a
+process mid-Mosaic-compile also wedges the tunneled device for ~45 min.
+The production path is therefore ops/fresnel.py FusedPiecewiseInterp under
+plain XLA (Config.use_pallas=False); this kernel is kept as the reference
+implementation to revisit on a native TPU runtime.
+
 This is the framework's hottest preprocessing chain.  The pure-jnp
 implementation materialises the (pixels x knots) compare matrix in HBM
 (~0.4 GB per 32k-pixel chunk, ~25 GB of HBM traffic per 512px batch-8 step
