@@ -145,3 +145,25 @@ def test_cli_selfsup_smoke(tmp_path, extra):
         capture_output=True, text=True, timeout=1500, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert out.returncode == 0, out.stderr[-2000:]
+
+
+def test_analysis_maps_and_tables():
+    from polardepth_tpu.eval.analysis import (
+        error_maps, per_material_rms, render_error_heatmap, render_normals)
+    rng = np.random.default_rng(0)
+    gt = rng.uniform(0.3, 1.8, (16, 20)).astype(np.float32)
+    pred = np.clip(gt + rng.normal(0, 0.05, gt.shape), 0.1, 2.0)
+    inst = np.full((16, 20), 180, np.int32)
+    inst[:8] = 160  # glass top half
+    maps = error_maps(pred, gt)
+    assert maps["valid"].all()
+    np.testing.assert_allclose(maps["abs"], np.abs(pred - gt), atol=1e-6)
+    rms = per_material_rms(pred, gt, inst)
+    assert np.isfinite(rms["glass"]) and np.isfinite(rms["table"])
+    assert np.isnan(rms["cup"])  # material absent
+    hm = render_error_heatmap(pred, gt)
+    assert hm.shape == (16, 20, 3)
+    K = np.array([[100, 0, 10], [0, 100, 8], [0, 0, 1]], np.float32)
+    nrm = render_normals(gt, K)
+    assert nrm.shape == (16, 20, 3)
+    assert nrm.min() >= 0 and nrm.max() <= 1
