@@ -143,6 +143,7 @@ def test_multi_step_scan_matches_sequential(overfit_setup):
     p1 = jax.tree_util.tree_leaves(jax.device_get(t_seq.state.params))
     p2 = jax.tree_util.tree_leaves(jax.device_get(t_scan.state.params))
     for a, b in zip(p1, p2):
+        # bound grows ~lr per Adam step taken
         np.testing.assert_allclose(a, b, rtol=1e-2,
-                                   atol=2.0 * cfg.learning_rate)
+                                   atol=4.0 * cfg.learning_rate)
     assert int(t_seq.state.step) == int(t_scan.state.step) == 3
