@@ -253,21 +253,58 @@ class Trainer:
 
     def fit(self, train_batches_fn, eval_batches_fn=None,
             num_epochs: Optional[int] = None,
-            checkpoint_dir: Optional[str] = None) -> dict:
+            checkpoint_dir: Optional[str] = None,
+            steps_per_call: int = 1, writer=None) -> dict:
         """Run the reference's train() protocol: evaluate before epoch 0,
-        then per-epoch train + periodic eval/save (trainer.py:379-402)."""
+        then per-epoch train + periodic eval/save (trainer.py:379-402).
+
+        Auto-resume: if checkpoint_dir already holds step checkpoints, the
+        latest is restored before training — step-granular preemption
+        recovery the reference lacks (SURVEY §5: its granularity is the
+        epoch and there is no auto-resume at all).
+        """
         from polardepth_tpu.train import checkpoint as ckpt
         num_epochs = num_epochs or self.cfg.num_epochs
+        if checkpoint_dir:
+            latest = ckpt.latest_step_dir(checkpoint_dir)
+            if latest:
+                self.state = ckpt.restore(latest, self.state)
+                self.log(f"resumed from {latest} (step {int(self.state.step)})")
         results = {}
         if eval_batches_fn is not None:
             results["initial"] = self.evaluate(eval_batches_fn())
-        for e in range(num_epochs):
-            logs = self.train_epoch(train_batches_fn())
+        start_epoch = (int(self.state.step) // max(self.steps_per_epoch, 1))
+        for e in range(start_epoch, num_epochs):
+            logs = self.train_epoch(train_batches_fn(), steps_per_call)
             self.log(f"epoch {e}: loss={logs.get('loss', float('nan')):.5f} "
                      f"({logs.get('examples_per_sec', 0):.1f} ex/s)")
+            if writer is not None:
+                writer.scalars("train", int(self.state.step), logs)
             if (e + 1) % self.cfg.save_frequency == 0:
                 if eval_batches_fn is not None:
                     results[f"epoch_{e}"] = self.evaluate(eval_batches_fn())
+                    self._log_images(eval_batches_fn, writer)
                 if checkpoint_dir:
                     ckpt.save(checkpoint_dir, self.state, self.cfg)
         return results
+
+    def _log_images(self, eval_batches_fn, writer) -> None:
+        """Colormapped disparity/error renderings for the first eval frame
+        (the reference's TB image logging, trainer.py:1449-1585)."""
+        if writer is None:
+            return
+        try:
+            from polardepth_tpu.eval.analysis import (
+                render_error_heatmap, render_disparity)
+            batch = next(iter(eval_batches_fn()))
+            depth = self.predict(batch)
+            step = int(self.state.step)
+            writer.image("val", step, "depth_pred",
+                         render_disparity(1.0 / depth[0]))
+            if "depth_gt" in batch:
+                writer.image("val", step, "error",
+                             render_error_heatmap(
+                                 depth[0], batch["depth_gt"][0],
+                                 self.cfg.min_depth, self.cfg.max_depth))
+        except Exception as exc:  # logging must never kill training
+            self.log(f"image logging skipped: {exc}")
