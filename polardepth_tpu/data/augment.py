@@ -88,3 +88,26 @@ def color_jitter(key: jax.Array, img: jnp.ndarray,
 
     apply = jax.random.uniform(kp, (b, 1, 1, 1)) < apply_prob
     return jnp.where(apply, out, img)
+
+
+def random_horizontal_flip(key: jax.Array, batch: dict,
+                           prob: float = 0.5) -> dict:
+    """Device-side per-sample horizontal flip (the KITTI-style augmentation;
+    MonoDataset random flip, mono_dataset.py — the HAMMER path hardwires
+    do_flip=False, indoor_dataset.py:302).
+
+    Flips the width axis of every (B, H, W, C) image-like entry.  Note:
+    flipping polarization captures mirrors AoLP without negating it, exactly
+    as a naive image flip would in the reference — only meaningful for
+    non-polarimetric datasets.
+    """
+    flip = None
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, "ndim") and v.ndim == 4:
+            if flip is None:
+                flip = jax.random.uniform(key, (v.shape[0], 1, 1, 1)) < prob
+            out[k] = jnp.where(flip, v[:, :, ::-1], v)
+        else:
+            out[k] = v
+    return out

@@ -112,3 +112,26 @@ def test_color_jitter_probability_and_range():
     assert not np.allclose(o, np.asarray(img))
     out_never = color_jitter(jax.random.PRNGKey(0), img, apply_prob=0.0)
     np.testing.assert_array_equal(np.asarray(out_never), np.asarray(img))
+
+
+def test_random_horizontal_flip():
+    from polardepth_tpu.data.augment import random_horizontal_flip
+    rng = np.random.default_rng(0)
+    batch = {"color": jnp.asarray(rng.uniform(0, 1, (6, 8, 10, 3))
+                                  .astype(np.float32)),
+             "depth": jnp.asarray(rng.uniform(0, 2, (6, 8, 10, 1))
+                                  .astype(np.float32)),
+             "K": jnp.asarray(np.eye(4, dtype=np.float32))}
+    out = random_horizontal_flip(jax.random.PRNGKey(1), batch, prob=0.5)
+    c0, c1 = np.asarray(batch["color"]), np.asarray(out["color"])
+    flipped = np.array([np.allclose(c1[i], c0[i, :, ::-1]) for i in range(6)])
+    same = np.array([np.allclose(c1[i], c0[i]) for i in range(6)])
+    assert np.all(flipped | same) and flipped.any() and same.any()
+    # depth flipped consistently with color
+    d0, d1 = np.asarray(batch["depth"]), np.asarray(out["depth"])
+    for i in range(6):
+        if flipped[i]:
+            np.testing.assert_allclose(d1[i], d0[i, :, ::-1])
+    # non-image entries untouched
+    np.testing.assert_array_equal(np.asarray(out["K"]),
+                                  np.asarray(batch["K"]))

@@ -131,3 +131,18 @@ def test_polardepthnet_train_mode_runs_with_dropout_rng():
                        rngs={"dropout": jax.random.PRNGKey(1)},
                        mutable=["batch_stats"])
     assert ("disp", 0) in out and "batch_stats" in mut
+
+
+def test_depth_decoder_uncertainty_heads():
+    feats = [_rand(20, (1, H // 2, W // 2, 64)),
+             _rand(21, (1, H // 4, W // 4, 64)),
+             _rand(22, (1, H // 8, W // 8, 128)),
+             _rand(23, (1, H // 16, W // 16, 256)),
+             _rand(24, (1, H // 32, W // 32, 512))]
+    m = DepthDecoder(scales=(0, 1), uncertainty=True)
+    vars_ = m.init(jax.random.PRNGKey(0), feats)
+    out = m.apply(vars_, feats)
+    for s in (0, 1):
+        assert ("uncertainty", s) in out and ("uncertainty_color", s) in out
+        u = np.asarray(out[("uncertainty", s)])
+        assert u.min() >= 0.0 and u.max() <= 1.0
