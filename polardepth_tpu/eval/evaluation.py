@@ -67,6 +67,41 @@ def eval_step_metrics(depth_gt: jnp.ndarray, depth_pred: jnp.ndarray,
     return out
 
 
+def empty_accumulator():
+    """Device-side accumulator pytree: per-slice metric sums over frames
+    with a non-empty slice, plus the frame count."""
+    return {name: {**{m: jnp.float32(0) for m in METRIC_ORDER},
+                   "frames": jnp.float32(0)}
+            for name in MATERIAL_THRESHOLDS}
+
+
+def accumulate_on_device(acc: dict, step_metrics: dict) -> dict:
+    """Fold one batch's per-frame metrics into the accumulator *on device* —
+    the whole eval epoch then needs a single host fetch (the reference
+    fetches every prediction to the CPU per batch, evaluation.py:160-165;
+    through a high-latency link that dominates eval time)."""
+    out = {}
+    for name, res in step_metrics.items():
+        nonempty = (res["count"] > 0).astype(jnp.float32)
+        slice_acc = {}
+        for m in METRIC_ORDER:
+            vals = jnp.where(nonempty > 0, res[m], 0.0)
+            slice_acc[m] = acc[name][m] + jnp.sum(vals)
+        slice_acc["frames"] = acc[name]["frames"] + jnp.sum(nonempty)
+        out[name] = slice_acc
+    return out
+
+
+def accumulator_result(acc: dict) -> Dict[str, Dict[str, float]]:
+    """Host-side finalisation of a fetched accumulator."""
+    out = {}
+    for name in MATERIAL_THRESHOLDS:
+        c = max(float(acc[name]["frames"]), 1.0)
+        out[name] = {m: float(acc[name][m]) / c for m in METRIC_ORDER}
+        out[name]["frames"] = int(acc[name]["frames"])
+    return out
+
+
 class MetricAccumulator:
     """Host-side accumulation of per-frame metrics (mean over frames with a
     non-empty slice, matching the reference's frame-mean)."""

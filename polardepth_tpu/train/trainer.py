@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from polardepth_tpu.config import Config
 from polardepth_tpu.data.augment import color_jitter
 from polardepth_tpu.eval.evaluation import (
-    eval_step_metrics, MetricAccumulator, format_table,
+    eval_step_metrics, accumulate_on_device, accumulator_result,
+    empty_accumulator, format_table,
 )
 from polardepth_tpu.models.network import PolarDepthNet
 from polardepth_tpu.ops.depth import disp_to_depth
@@ -108,7 +109,7 @@ def make_multi_train_step(model: PolarDepthNet, cfg: Config):
 def make_eval_step(model: PolarDepthNet, cfg: Config):
     needs_pol = cfg.augment_xolp or cfg.augment_normals
 
-    def step(state: TrainState, batch: dict):
+    def step(state: TrainState, batch: dict, acc: dict):
         pb = preprocess_batch(batch, cfg)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         outputs = model.apply(
@@ -117,8 +118,9 @@ def make_eval_step(model: PolarDepthNet, cfg: Config):
         _, depth = disp_to_depth(outputs[("disp", 0)], cfg.min_depth,
                                  cfg.max_depth)
         pred = jnp.clip(depth, cfg.min_depth, cfg.max_depth)
-        return eval_step_metrics(pb["depth_gt"], pred, pb["mask"],
-                                 cfg.min_depth, cfg.max_depth)
+        metrics = eval_step_metrics(pb["depth_gt"], pred, pb["mask"],
+                                    cfg.min_depth, cfg.max_depth)
+        return accumulate_on_device(acc, metrics)
 
     return step
 
@@ -173,7 +175,8 @@ class Trainer:
                                    donate_argnums=donate)
         self._multi_train_step = jax.jit(
             make_multi_train_step(self.model, cfg), donate_argnums=donate)
-        self._eval_step = jax.jit(make_eval_step(self.model, cfg))
+        self._eval_step = jax.jit(make_eval_step(self.model, cfg),
+                                  donate_argnums=(2,))
         self._infer_step = jax.jit(make_infer_step(self.model, cfg))
         self.epoch = 0
 
@@ -238,12 +241,13 @@ class Trainer:
 
     def evaluate(self, batches: Iterable[dict]) -> dict:
         """Full per-material metric table (reference Trainer.test /
-        Evaluation.test)."""
-        acc = MetricAccumulator()
+        Evaluation.test).  Metric sums accumulate on device across the whole
+        epoch; the host fetches one small pytree at the end."""
+        acc = empty_accumulator()
         for batch in batches:
             db = self._shard(batch, EVAL_BATCH_KEYS)
-            acc.update(jax.device_get(self._eval_step(self.state, db)))
-        results = acc.result()
+            acc = self._eval_step(self.state, db, acc)
+        results = accumulator_result(jax.device_get(acc))
         self.log(format_table(results))
         return results
 
