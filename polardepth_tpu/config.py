@@ -50,6 +50,7 @@ class Config:
     train_dpt: bool = False          # DPT/MiDaS backbone path
     pose_input: bool = False         # use GT poses instead of pose net
     supervise_pose: bool = False
+    res_pose: bool = False           # residual-pose refinement pass
     use_attention: bool = False      # arch1++_attention variant
     num_layers: int = 18
     weights_init: str = "scratch"    # "pretrained" needs a converted ResNet18 pytree

@@ -69,12 +69,19 @@ class SelfSupModel(nn.Module):
     use_pallas: bool = True
 
     @nn.compact
-    def __call__(self, color_frames, pol=None, train: bool = False):
+    def __call__(self, color_frames, pol=None, train: bool = False,
+                 matching_ids=None):
         """color_frames: (B, F, H, W, 3) in frame_ids order (0 first).
 
-        Returns (disps, poses): disps {("disp", s)}, poses {frame_id: T
-        (B, 4, 4) cam0 -> cam_frame} (predict_poses semantics: temporal
-        ordering of the pair + invert for past frames, trainer.py:696-706).
+        Returns (disps, poses[, matching_poses]): disps {("disp", s)}, poses
+        {frame_id: T (B, 4, 4) cam0 -> cam_frame} (predict_poses semantics:
+        temporal ordering of the pair + invert for past frames,
+        trainer.py:696-706).
+
+        matching_ids: when given (e.g. (0, -1)), additionally returns chained
+        no-grad relative poses for the cost-volume lookup frames, predicted
+        by the SAME pose net (the reference's default pose_input=False path,
+        trainer.py:708-746), with blank frames masked to zero pose.
         """
         depth_net = PolarDepthNet(
             self.augment_xolp, self.augment_normals, self.dropout_rate,
@@ -95,7 +102,32 @@ class SelfSupModel(nn.Module):
                                  train)
             poses[f] = transformation_from_parameters(
                 aa[:, 0], t[:, 0], invert=(f < 0))
-        return disps, poses
+        if matching_ids is None:
+            return disps, poses
+
+        idx_of = {f: i for i, f in enumerate(self.frame_ids)}
+        matching = {}
+        for fi in matching_ids:
+            if fi == 0:
+                continue
+            if fi < 0:
+                aa, t = pose_net(color_frames[:, idx_of[fi]],
+                                 color_frames[:, idx_of[fi + 1]], train)
+                pose = transformation_from_parameters(aa[:, 0], t[:, 0],
+                                                      invert=True)
+                if fi != -1:
+                    pose = jnp.einsum("bij,bjk->bik", pose, matching[fi + 1])
+            else:
+                aa, t = pose_net(color_frames[:, idx_of[fi - 1]],
+                                 color_frames[:, idx_of[fi]], train)
+                pose = transformation_from_parameters(aa[:, 0], t[:, 0],
+                                                      invert=False)
+                if fi != 1:
+                    pose = jnp.einsum("bij,bjk->bik", pose, matching[fi - 1])
+            valid = (jnp.sum(jnp.abs(color_frames[:, idx_of[fi]]),
+                             axis=(1, 2, 3)) > 0).astype(pose.dtype)
+            matching[fi] = jax.lax.stop_gradient(pose * valid[:, None, None])
+        return disps, poses, matching
 
 
 class MatchingPoseNet(nn.Module):
@@ -269,6 +301,50 @@ def pose_supervision_loss(poses: dict, rel_poses: jnp.ndarray,
     return r_loss, t_loss
 
 
+def residual_reprojection_loss(cfg: Config, rng: jax.Array, pose_params,
+                               pose_stats, warped: dict, depths: dict,
+                               color0: jnp.ndarray, K, inv_K):
+    """res_pose refinement loss (reference trainer.py:548-565, 1158-1165,
+    1238-1239): predict residual poses from [warped source, target] pairs
+    with the same pose net, re-warp the warped images through them, and add
+    min(reproj(re-warped), reproj(identity)+noise), min over frames.
+
+    The residual pose pass runs with eval-mode BN (the reference updates BN
+    stats here too; documented deviation to keep the step single-pass on
+    batch statistics)."""
+    from polardepth_tpu.ops.losses import reprojection_loss as rl
+    h, w = cfg.height, cfg.width
+    pose_net = PoseNet()
+    losses = []
+    depth0 = depths[("depth", 0, 0)]
+    points = backproject_depth(depth0, inv_K)
+    for f in cfg.frame_ids:
+        if f == 0:
+            continue
+        src = warped[("color", f, 0)]
+        if f < 0:
+            aa, t = pose_net.apply(
+                {"params": pose_params, "batch_stats": pose_stats},
+                src, color0, False)
+        else:
+            aa, t = pose_net.apply(
+                {"params": pose_params, "batch_stats": pose_stats},
+                color0, src, False)
+        T_res = transformation_from_parameters(aa[:, 0], t[:, 0],
+                                               invert=(f < 0))
+        grid = project_3d(points, K, T_res, h, w)
+        re_warped = grid_sample(src, grid, padding_mode="border",
+                                align_corners=True)
+        noise = jax.random.normal(
+            jax.random.fold_in(rng, f + 128),  # fold_in needs non-negative
+            (color0.shape[0], h, w, 1)) * 1e-5
+        pair = jnp.concatenate(
+            [rl(re_warped, color0, not cfg.no_ssim),
+             rl(src, color0, not cfg.no_ssim) + noise], axis=-1)
+        losses.append(jnp.min(pair, axis=-1, keepdims=True))
+    return jnp.mean(jnp.min(jnp.concatenate(losses, axis=-1), axis=-1))
+
+
 def make_selfsup_train_step(model: SelfSupModel, cfg: Config):
     """Jitted train step for the self-supervised graph; batch needs
     color_frames (B,F,H,W,3) uint8, pol, K, inv_K (+ depth when
@@ -277,7 +353,7 @@ def make_selfsup_train_step(model: SelfSupModel, cfg: Config):
 
     def step(state, batch: dict, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
-        k_noise, k_drop = jax.random.split(rng)
+        k_noise, k_res, k_drop = jax.random.split(rng, 3)
         color_frames = batch["color_frames"].astype(jnp.float32) / 255.0
         pb = {
             "color": color_frames[:, 0],
@@ -298,6 +374,14 @@ def make_selfsup_train_step(model: SelfSupModel, cfg: Config):
                 cfg, disps, poses, color_frames, batch["K"], batch["inv_K"])
             loss, logs = selfsup_losses(cfg, k_noise, disps, warped, depths,
                                         pb)
+            if cfg.res_pose:
+                res_loss = residual_reprojection_loss(
+                    cfg, k_res, params["pose_net"],
+                    state.batch_stats.get("pose_net", {}),
+                    warped, depths, pb["color"], batch["K"], batch["inv_K"])
+                loss = loss + res_loss
+                logs["res_pose_loss"] = res_loss
+                logs["loss"] = loss
             if cfg.supervise_pose:
                 r_loss, t_loss = pose_supervision_loss(
                     poses, batch["rel_poses"], cfg.frame_ids)

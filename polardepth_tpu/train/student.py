@@ -60,7 +60,8 @@ class StudentModel(nn.Module):
     @nn.compact
     def __call__(self, color_frames, pol, lookup_frames, rel_poses,
                  K_quarter, inv_K_quarter, min_depth_bin, max_depth_bin,
-                 train: bool = False, freeze_teacher: bool = False):
+                 train: bool = False, freeze_teacher: bool = False,
+                 pose_zero_mask=None):
         """Returns (teacher_out, student_out):
           teacher_out = (mono disps, poses)
           student_out = (student disps, lowest_cost, confidence_mask)
@@ -69,11 +70,25 @@ class StudentModel(nn.Module):
             self.frame_ids, self.augment_xolp, self.augment_normals,
             self.dropout_rate, tuple(self.scales),
             compute_dtype=self.compute_dtype, name="teacher")
-        disps, poses = teacher(color_frames, pol=pol, train=train and
-                               not freeze_teacher)
+        if rel_poses is None:
+            # pose_input=False (reference default): the lookup-frame poses
+            # come from the teacher's own pose net, chained under no-grad
+            # (trainer.py:708-746)
+            disps, poses, matching = teacher(
+                color_frames, pol=pol, train=train and not freeze_teacher,
+                matching_ids=tuple(self.matching_ids))
+            rel_poses = jnp.stack(
+                [matching[f] for f in self.matching_ids if f != 0], axis=1)
+        else:
+            disps, poses = teacher(color_frames, pol=pol, train=train and
+                                   not freeze_teacher)
         if freeze_teacher:
             disps = jax.tree_util.tree_map(jax.lax.stop_gradient, disps)
             poses = jax.tree_util.tree_map(jax.lax.stop_gradient, poses)
+        if pose_zero_mask is not None:
+            # zero-cost-volume matching augmentation applied to predicted
+            # poses (the reference zeroes the pose rows, trainer.py:602-603)
+            rel_poses = rel_poses * pose_zero_mask[:, None, None, None]
 
         encoder = CostVolumeEncoder(
             self.num_depth_bins, self.depth_binning, self.compute_dtype,
@@ -98,10 +113,13 @@ def matching_augmentation(rng: jax.Array, color_frames: jnp.ndarray,
     zeroed = (u >= 0.25) & (u < 0.5)
     cur = jnp.broadcast_to(color_frames[:, 0:1], lookup_frames.shape)
     lookup = jnp.where(static[:, None, None, None, None], cur, lookup_frames)
-    poses = jnp.where(zeroed[:, None, None, None],
-                      jnp.zeros_like(rel_poses), rel_poses)
+    if rel_poses is not None:
+        poses = jnp.where(zeroed[:, None, None, None],
+                          jnp.zeros_like(rel_poses), rel_poses)
+    else:
+        poses = None
     aug_mask = (static | zeroed).astype(jnp.float32)[:, None, None, None]
-    return lookup, poses, aug_mask
+    return lookup, poses, aug_mask, zeroed
 
 
 def compute_matching_mask(cfg: Config, lowest_cost: jnp.ndarray,
@@ -188,10 +206,16 @@ def make_student_train_step(model: StudentModel, cfg: Config,
         matching_idx = [list(cfg.frame_ids).index(f)
                         for f in (-1,)]  # matching_ids[1:]
         lookup = color_frames[:, matching_idx]
-        rel = batch["rel_poses"][:, matching_idx]
+        # pose_input=True: GT relative poses from the dataset; otherwise the
+        # teacher's pose net predicts them inside the model (reference
+        # default, trainer.py:581-584 vs 708-746)
+        rel = batch["rel_poses"][:, matching_idx] if cfg.pose_input else None
+        pose_zero_mask = None
         if not cfg.no_matching_augmentation:
-            lookup, rel, aug_mask = matching_augmentation(
+            lookup, rel, aug_mask, zeroed = matching_augmentation(
                 k_aug, color_frames, lookup, rel)
+            if rel is None:
+                pose_zero_mask = 1.0 - zeroed.astype(jnp.float32)
         else:
             aug_mask = jnp.zeros((lookup.shape[0], 1, 1, 1), jnp.float32)
 
@@ -209,6 +233,7 @@ def make_student_train_step(model: StudentModel, cfg: Config,
                 batch["pol"].astype(jnp.float32) if needs_pol else None,
                 lookup, rel, K4, inv_K4, min_bin, max_bin,
                 train=True, freeze_teacher=freeze_teacher,
+                pose_zero_mask=pose_zero_mask,
                 rngs={"dropout": k_drop}, mutable=["batch_stats"])
 
             # teacher losses (mono path)

@@ -129,3 +129,22 @@ def test_residual_pose_prediction():
     # valid SE(3): rotation orthonormal
     R = np.asarray(res[1])[0, :3, :3]
     np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+
+
+def test_selfsup_res_pose_step():
+    cfg = Config(height=H, width=W, batch_size=1, dropout_rate=0.0,
+                 depth_supervision=False, depth_supervision_only=False,
+                 res_pose=True, mesh_shape=(1,))
+    model = SelfSupModel(frame_ids=cfg.frame_ids, dropout_rate=0.0,
+                         scales=tuple(cfg.scales))
+    rng = jax.random.PRNGKey(0)
+    example = {"color_frames": jnp.zeros((1, 3, H, W, 3), jnp.float32),
+               "pol": jnp.zeros((1, H, W, 4), jnp.float32)}
+    state = create_train_state(model, {"params": rng, "dropout": rng},
+                               example, 1e-4)
+    step = jax.jit(make_selfsup_train_step(model, cfg))
+    gen = SyntheticHammer(H, W, seed=9)
+    batch = gen.batch_frames(1, frame_ids=cfg.frame_ids, offset=2)
+    state, logs = step(state, batch, rng)
+    assert "res_pose_loss" in logs
+    assert np.isfinite(float(logs["loss"]))

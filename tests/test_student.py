@@ -31,14 +31,15 @@ def test_matching_augmentation_masks():
     lf = cf[:, 1:2]
     poses = jnp.asarray(np.broadcast_to(np.eye(4, dtype=np.float32),
                                         (8, 1, 4, 4)))
-    lookup, rel, mask = matching_augmentation(jax.random.PRNGKey(3), cf, lf,
-                                              poses)
+    lookup, rel, mask, zeroed = matching_augmentation(
+        jax.random.PRNGKey(3), cf, lf, poses)
     assert lookup.shape == lf.shape and rel.shape == poses.shape
     m = np.asarray(mask)[:, 0, 0, 0]
     static = np.asarray(jnp.all(lookup == cf[:, 0:1], axis=(1, 2, 3, 4)))
-    zeroed = np.asarray(jnp.all(rel == 0, axis=(1, 2, 3)))
+    zeroed_rel = np.asarray(jnp.all(rel == 0, axis=(1, 2, 3)))
+    np.testing.assert_array_equal(np.asarray(zeroed), zeroed_rel)
     # every augmented sample is flagged, unaugmented ones untouched
-    np.testing.assert_array_equal(m > 0, static | zeroed)
+    np.testing.assert_array_equal(m > 0, static | zeroed_rel)
 
 
 def test_tracker_ema():
