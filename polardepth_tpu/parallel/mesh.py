@@ -23,6 +23,12 @@ def create_mesh(shape: Sequence[int] = (-1,),
     if -1 in shape:
         shape[shape.index(-1)] = len(devices) // max(known, 1)
     n = int(np.prod(shape))
+    if len(devices) < n:
+        raise ValueError(
+            f"create_mesh(shape={tuple(shape)}) needs {n} devices but only "
+            f"{len(devices)} are available ({[str(d) for d in devices]}); "
+            "for CPU testing set XLA_FLAGS=--xla_force_host_platform_device_"
+            f"count={n} and JAX_PLATFORMS=cpu before the backend initialises.")
     dev_array = np.asarray(devices[:n]).reshape(shape)
     return Mesh(dev_array, tuple(axis_names))
 
