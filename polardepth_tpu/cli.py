@@ -85,6 +85,31 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                    help="use N synthetic scenes instead of HAMMER data")
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--save_frequency", type=int, default=d.save_frequency)
+    p.add_argument("--log_frequency", type=int, default=d.log_frequency)
+    p.add_argument("--weights_init", type=str, default=d.weights_init,
+                   choices=("scratch", "pretrained"))
+    p.add_argument("--pretrained_weights_path", type=str,
+                   default=d.pretrained_weights_path)
+    p.add_argument("--avg_reprojection", action="store_true",
+                   default=d.avg_reprojection)
+    p.add_argument("--v1_multiscale", action="store_true",
+                   default=d.v1_multiscale)
+    p.add_argument("--no_ssim", action="store_true", default=d.no_ssim)
+    p.add_argument("--disable_automasking", action="store_true",
+                   default=d.disable_automasking)
+    p.add_argument("--disable_motion_masking", action="store_true",
+                   default=d.disable_motion_masking)
+    p.add_argument("--no_matching_augmentation", action="store_true",
+                   default=d.no_matching_augmentation)
+    p.add_argument("--num_matching_frames", type=int,
+                   default=d.num_matching_frames)
+    p.add_argument("--use_future_frame", action="store_true",
+                   default=d.use_future_frame)
+    p.add_argument("--pose_input", action="store_true", default=d.pose_input)
+    p.add_argument("--supervise_pose", action="store_true",
+                   default=d.supervise_pose)
+    p.add_argument("--res_pose", action="store_true", default=d.res_pose)
+    p.add_argument("--use_pallas", action="store_true", default=d.use_pallas)
 
 
 def _config_from_args(a) -> Config:
@@ -187,90 +212,106 @@ def _make_multiframe_data(cfg: Config, a, part: str):
 
 def _train_alternative_path(cfg: Config, a, writer) -> int:
     """Self-supervised / teacher-student / DPT training loops (the
-    reference's flag-selected model graphs, trainer.py:141-236)."""
+    reference's flag-selected model graphs, trainer.py:141-236), run through
+    the same fit protocol as the published path: eval-before-epoch-0,
+    periodic in-epoch val/log, per-epoch eval + Orbax checkpoint with
+    auto-resume (reference trainer.py:379-467)."""
     import jax
     import jax.numpy as jnp
     from polardepth_tpu.train.state import create_train_state, step_lr_schedule
+    from polardepth_tpu.train.loop import AltTrainer
+    from polardepth_tpu.train.pretrained import maybe_apply_pretrained
 
     rng = jax.random.PRNGKey(cfg.seed)
     h, w = cfg.height, cfg.width
+    log_dir = os.path.join(cfg.log_dir, cfg.model_name)
+    ckpt_dir = cfg.checkpoint_dir or os.path.join(log_dir, "checkpoints")
+
+    def schedule(spe):
+        return step_lr_schedule(cfg.learning_rate, spe,
+                                cfg.scheduler_step_size, cfg.scheduler_gamma,
+                                cfg.num_epochs)
 
     if cfg.train_dpt:
         from polardepth_tpu.models.dpt import DPTDepthModel, MidasNet
-        from polardepth_tpu.train.dpt_trainer import make_dpt_train_step
+        from polardepth_tpu.train.dpt_trainer import (
+            make_dpt_train_step, make_dpt_infer_step)
         model = MidasNet() if a.midas else DPTDepthModel(backbone="vitb16")
         data_fn, spe = _make_data(cfg, a, "train")
+        eval_fn, _ = _make_data(cfg, a, "val" if not a.synthetic else "train")
         example = {"x": jnp.zeros((1, h, w, 3), jnp.float32)}
         state = create_train_state(
-            model, {"params": rng, "dropout": rng}, example,
-            step_lr_schedule(cfg.learning_rate, spe, cfg.scheduler_step_size,
-                             cfg.scheduler_gamma, cfg.num_epochs))
-        step = jax.jit(make_dpt_train_step(model, cfg))
-        for e in range(cfg.num_epochs):
-            for batch in data_fn():
-                state, logs = step(state, batch, rng)
-            writer.scalars("train", e, {"loss": float(logs["loss"])})
-            print(f"epoch {e}: dpt loss={float(logs['loss']):.5f}")
+            model, {"params": rng, "dropout": rng}, example, schedule(spe))
+        if cfg.weights_init == "pretrained":
+            try:  # MidasNet carries a ResNet18-style trunk; plain DPT (ViT)
+                state = maybe_apply_pretrained(state, cfg)  # has none.
+            except ValueError as exc:
+                print(f"weights_init=pretrained skipped for DPT: {exc}")
+        alt = AltTrainer(cfg, state, jax.jit(make_dpt_train_step(model, cfg)),
+                         jax.jit(make_dpt_infer_step(model, cfg)), rng)
+        alt.fit(data_fn, eval_fn, cfg.num_epochs, ckpt_dir, writer, spe)
         return 0
 
     if cfg.train_student:
         from polardepth_tpu.train.student import (
-            StudentModel, make_student_train_step)
+            StudentModel, make_student_train_step, make_student_infer_step)
         model = StudentModel(
-            frame_ids=tuple(cfg.frame_ids), augment_xolp=cfg.augment_xolp,
+            frame_ids=tuple(cfg.frame_ids),
+            matching_ids=cfg.matching_ids,
+            augment_xolp=cfg.augment_xolp,
             augment_normals=cfg.augment_normals,
             dropout_rate=cfg.dropout_rate, scales=tuple(cfg.scales),
             num_depth_bins=cfg.num_depth_bins,
             depth_binning=cfg.depth_binning,
             compute_dtype=cfg.compute_dtype)
         data_fn, spe = _make_multiframe_data(cfg, a, "train")
+        eval_fn, _ = _make_multiframe_data(
+            cfg, a, "val" if not a.synthetic else "train")
         nf = len(cfg.frame_ids)
+        n_lookup = len(cfg.matching_ids) - 1
         example = {
             "color_frames": jnp.zeros((1, nf, h, w, 3), jnp.float32),
             "pol": jnp.zeros((1, h, w, 4), jnp.float32),
-            "lookup_frames": jnp.zeros((1, 1, h, w, 3), jnp.float32),
-            "rel_poses": jnp.zeros((1, 1, 4, 4), jnp.float32),
+            "lookup_frames": jnp.zeros((1, n_lookup, h, w, 3), jnp.float32),
+            "rel_poses": jnp.zeros((1, n_lookup, 4, 4), jnp.float32),
             "K_quarter": jnp.eye(4)[None].astype(jnp.float32),
             "inv_K_quarter": jnp.eye(4)[None].astype(jnp.float32),
             "min_depth_bin": cfg.min_depth, "max_depth_bin": cfg.max_depth,
         }
         state = create_train_state(
-            model, {"params": rng, "dropout": rng}, example,
-            step_lr_schedule(cfg.learning_rate, spe, cfg.scheduler_step_size,
-                             cfg.scheduler_gamma, cfg.num_epochs))
+            model, {"params": rng, "dropout": rng}, example, schedule(spe))
+        state = maybe_apply_pretrained(state, cfg)
         trackers = (jnp.float32(cfg.min_depth), jnp.float32(cfg.max_depth))
         step = jax.jit(make_student_train_step(model, cfg))
         step_frozen = jax.jit(make_student_train_step(model, cfg,
                                                       freeze_teacher=True))
-        for e in range(cfg.num_epochs):
-            s = step_frozen if (0 <= cfg.freeze_teacher_epoch <= e) else step
-            for batch in data_fn():
-                state, trackers, logs = s(state, trackers, batch, rng)
-            writer.scalars("train", e, {"loss": float(logs["loss"])})
-            print(f"epoch {e}: student loss={float(logs['loss']):.5f}")
+        alt = AltTrainer(cfg, state, step,
+                         jax.jit(make_student_infer_step(model, cfg)), rng,
+                         trackers=trackers, has_trackers=True)
+        alt.step_select = (lambda e: step_frozen
+                           if 0 <= cfg.freeze_teacher_epoch <= e else step)
+        alt.fit(data_fn, eval_fn, cfg.num_epochs, ckpt_dir, writer, spe)
         return 0
 
     # self-supervised (optionally + depth supervision) mono path
     from polardepth_tpu.train.selfsup import (
-        SelfSupModel, make_selfsup_train_step)
+        SelfSupModel, make_selfsup_train_step, make_selfsup_infer_step)
     model = SelfSupModel(
         frame_ids=tuple(cfg.frame_ids), augment_xolp=cfg.augment_xolp,
         augment_normals=cfg.augment_normals, dropout_rate=cfg.dropout_rate,
         scales=tuple(cfg.scales), compute_dtype=cfg.compute_dtype)
     data_fn, spe = _make_multiframe_data(cfg, a, "train")
+    eval_fn, _ = _make_multiframe_data(
+        cfg, a, "val" if not a.synthetic else "train")
     nf = len(cfg.frame_ids)
     example = {"color_frames": jnp.zeros((1, nf, h, w, 3), jnp.float32),
                "pol": jnp.zeros((1, h, w, 4), jnp.float32)}
     state = create_train_state(
-        model, {"params": rng, "dropout": rng}, example,
-        step_lr_schedule(cfg.learning_rate, spe, cfg.scheduler_step_size,
-                         cfg.scheduler_gamma, cfg.num_epochs))
-    step = jax.jit(make_selfsup_train_step(model, cfg))
-    for e in range(cfg.num_epochs):
-        for batch in data_fn():
-            state, logs = step(state, batch, rng)
-        writer.scalars("train", e, {"loss": float(logs["loss"])})
-        print(f"epoch {e}: selfsup loss={float(logs['loss']):.5f}")
+        model, {"params": rng, "dropout": rng}, example, schedule(spe))
+    state = maybe_apply_pretrained(state, cfg)
+    alt = AltTrainer(cfg, state, jax.jit(make_selfsup_train_step(model, cfg)),
+                     jax.jit(make_selfsup_infer_step(model, cfg)), rng)
+    alt.fit(data_fn, eval_fn, cfg.num_epochs, ckpt_dir, writer, spe)
     return 0
 
 
@@ -294,7 +335,8 @@ def cmd_train(argv) -> int:
     eval_fn, _ = _make_data(cfg, a, "val" if not a.synthetic else "train")
     trainer = Trainer(cfg, steps_per_epoch=spe)
     ckpt_dir = cfg.checkpoint_dir or os.path.join(log_dir, "checkpoints")
-    results = trainer.fit(train_fn, eval_fn, cfg.num_epochs, ckpt_dir)
+    results = trainer.fit(train_fn, eval_fn, cfg.num_epochs, ckpt_dir,
+                          writer=writer)
     for tag, table in results.items():
         for slice_name, row in table.items():
             writer.scalars(f"test_{slice_name}", trainer.epoch,

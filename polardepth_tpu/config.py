@@ -53,7 +53,11 @@ class Config:
     res_pose: bool = False           # residual-pose refinement pass
     use_attention: bool = False      # arch1++_attention variant
     num_layers: int = 18
-    weights_init: str = "scratch"    # "pretrained" needs a converted ResNet18 pytree
+    weights_init: str = "scratch"    # "pretrained" loads pretrained_weights_path
+    # Converted torchvision ResNet18 ImageNet .npz (one-time offline dump via
+    # scripts/convert_torch_resnet18.py); consumed when
+    # weights_init="pretrained" by train/pretrained.py.
+    pretrained_weights_path: str = ""
     dropout_rate: float = 0.1
     refraction_index: float = 1.5    # n for the Fresnel normal priors
 
@@ -62,7 +66,9 @@ class Config:
     depth_binning: str = "linear"
     num_matching_frames: int = 1
     use_future_frame: bool = False
-    no_matching_augmentation: bool = True
+    # Matching augmentation is ON by default, as in the reference (its flag
+    # is store_true default-False, options.py:278-281).
+    no_matching_augmentation: bool = False
     disable_motion_masking: bool = False
     freeze_teacher_epoch: int = -1
 
@@ -103,6 +109,16 @@ class Config:
     def num_scales(self) -> int:
         return len(self.scales)
 
+    @property
+    def matching_ids(self) -> tuple:
+        """Cost-volume lookup frame ids (reference trainer.py:131-135):
+        [0] + ([1] if use_future_frame) + [-1 .. -num_matching_frames]."""
+        ids = [0]
+        if self.use_future_frame:
+            ids.append(1)
+        ids += list(range(-1, -1 - self.num_matching_frames, -1))
+        return tuple(ids)
+
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 
@@ -127,6 +143,18 @@ class Config:
                              f"(got {self.height}x{self.width})")
         if self.depth_supervision_only and not self.depth_supervision:
             raise ValueError("depth_supervision_only requires depth_supervision")
+        if self.weights_init not in ("scratch", "pretrained"):
+            raise ValueError(f"weights_init must be 'scratch' or 'pretrained'"
+                             f" (got {self.weights_init!r})")
+        if self.train_student:
+            missing = [f for f in self.matching_ids
+                       if f not in tuple(self.frame_ids)]
+            if missing:
+                raise ValueError(
+                    f"matching frame ids {missing} (num_matching_frames="
+                    f"{self.num_matching_frames}, use_future_frame="
+                    f"{self.use_future_frame}) not in frame_ids "
+                    f"{tuple(self.frame_ids)}")
 
 
 # The published configuration (reference: train_supervised_GT.sh).

@@ -97,10 +97,11 @@ class ResNet18Encoder(nn.Module):
     """Full 5-level resnet18 encoder (pose path; reference ResnetEncoder).
 
     num_input_images > 1 stacks frames channel-wise and widens conv1, as in
-    resnet_multiimage_input (resnet_encoder.py:26-69); input normalization
-    divides by num_input_images to keep conv1's activation scale (the
-    reference averages pretrained conv1 weights instead — equivalent effect
-    at init, documented deviation for scratch training).
+    resnet_multiimage_input (resnet_encoder.py:26-69).  For pretrained init,
+    load_torch_resnet18(num_input_images=n) tiles the ImageNet conv1 kernel
+    over the stacked frames and divides by n, exactly as the reference does
+    (resnet_encoder.py:46-54); scratch init is plain kaiming on the widened
+    kernel, matching torch.
     """
 
     num_input_images: int = 1
@@ -117,15 +118,25 @@ class ResNet18Encoder(nn.Module):
         return [f0, f1, f2, f3, f4]
 
 
-def load_torch_resnet18(npz_path: str, shallow: bool = False):
+def load_torch_resnet18(npz_path: str, shallow: bool = False,
+                        num_input_images: int = 1):
     """Convert a dumped torchvision resnet18 state_dict (.npz, original torch
     key names, OIHW kernels) into (params, batch_stats) pytrees matching
     ShallowResNet18Stem (shallow=True) or ResNet18Encoder module naming.
+
+    num_input_images > 1 widens conv1 for stacked-frame input by tiling the
+    kernel along the input-channel axis and dividing by the frame count —
+    the reference's multi-image pretrained init
+    (resnet_encoder.py:46-54: cat([conv1_weight] * n, 1) / n).
 
     The dump must be produced offline where torchvision exists:
       np.savez(path, **{k: v.numpy() for k, v in model.state_dict().items()})
     """
     raw = dict(np.load(npz_path))
+    if num_input_images > 1:
+        raw["conv1.weight"] = np.concatenate(
+            [raw["conv1.weight"]] * num_input_images,
+            axis=1) / num_input_images
 
     def conv(k):
         return jnp.asarray(np.transpose(raw[k], (2, 3, 1, 0)))  # OIHW->HWIO

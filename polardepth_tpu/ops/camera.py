@@ -46,6 +46,13 @@ def project_3d(points: jnp.ndarray, K: jnp.ndarray, T: jnp.ndarray,
     return (pix / scale - 0.5) * 2.0
 
 
+def scale_intrinsics(K: jnp.ndarray, factor: float) -> jnp.ndarray:
+    """Scale pixel intrinsics (B,4,4) to a pyramid level: rows 0 (fx,cx) and
+    1 (fy,cy) multiply by `factor` (the dataset's per-scale K construction,
+    reference indoor_dataset.py:379-388)."""
+    return K.at[:, 0].multiply(factor).at[:, 1].multiply(factor)
+
+
 def warp_depth(depth: jnp.ndarray, inv_K: jnp.ndarray,
                T: jnp.ndarray) -> jnp.ndarray:
     """Rigidly transform a depth map's point cloud and return the z-buffer in

@@ -25,12 +25,19 @@ def _checkpointer():
 
 
 def save(directory: str, state, cfg: Optional[Config] = None,
-         step: Optional[int] = None) -> str:
-    """Write the full train state under directory/step_<N>."""
+         step: Optional[int] = None, extra=None) -> str:
+    """Write the full train state under directory/step_<N>.
+
+    extra: optional auxiliary pytree checkpointed alongside the state (e.g.
+    the student path's adaptive depth-bin trackers — the reference stuffs
+    min/max_depth_bin into the matching encoder's state_dict,
+    trainer.py:1608-1613)."""
     step = int(state.step) if step is None else step
     path = os.path.abspath(os.path.join(directory, f"step_{step}"))
     tree = {"params": state.params, "batch_stats": state.batch_stats,
             "opt_state": state.opt_state, "step": state.step}
+    if extra is not None:
+        tree["extra"] = extra
     _checkpointer().save(path, tree, force=True)
     if cfg is not None:
         with open(os.path.join(directory, "config.json"), "w") as f:
@@ -38,15 +45,21 @@ def save(directory: str, state, cfg: Optional[Config] = None,
     return path
 
 
-def restore(path: str, state):
-    """Restore into an existing (abstract or concrete) state template."""
+def restore(path: str, state, extra=None):
+    """Restore into an existing (abstract or concrete) state template.
+    With an `extra` template, returns (state, extra); else just state."""
     tree = {"params": state.params, "batch_stats": state.batch_stats,
             "opt_state": state.opt_state, "step": state.step}
+    if extra is not None:
+        tree["extra"] = extra
     restored = _checkpointer().restore(os.path.abspath(path), item=tree)
-    return state.replace(params=restored["params"],
-                         batch_stats=restored["batch_stats"],
-                         opt_state=restored["opt_state"],
-                         step=restored["step"])
+    state = state.replace(params=restored["params"],
+                          batch_stats=restored["batch_stats"],
+                          opt_state=restored["opt_state"],
+                          step=restored["step"])
+    if extra is not None:
+        return state, restored["extra"]
+    return state
 
 
 def latest_step_dir(directory: str) -> Optional[str]:

@@ -85,24 +85,43 @@ def color_pyramid(color: jnp.ndarray, scales) -> Dict[int, jnp.ndarray]:
     return pyr
 
 
+def supervised_scale_terms(cfg: Config, depth, depth_sup, K, scale: int):
+    """Masked-L1 + normals-cosine terms at one scale
+    (reference trainer.py:1241-1252).  With v1_multiscale the prediction
+    stays at scale resolution, so the GT is downsampled and the valid mask
+    recomputed there with scaled intrinsics (documented deviation: the
+    reference's v1_multiscale + depth_supervision combination shape-errors;
+    this is the semantically consistent completion)."""
+    from polardepth_tpu.ops.camera import scale_intrinsics
+    if cfg.v1_multiscale and scale:
+        depth_sup = resize_bilinear(depth_sup, depth.shape[1:3])
+        K = scale_intrinsics(K, 2.0 ** -scale)
+    valid = ((depth_sup >= cfg.min_depth) &
+             (depth_sup <= cfg.max_depth)).astype(depth_sup.dtype)
+    l_dep = masked_l1_depth_loss(depth_sup, depth, valid)
+    l_nrm = supervised_normals_loss(depth_sup, depth, K, valid)
+    return l_dep, l_nrm
+
+
 def supervised_losses(cfg: Config, outputs: dict, batch: dict) -> tuple:
     """Returns (total_loss, logs dict).  `outputs` holds ("disp", s) maps;
     `batch` must be preprocessed (working resolution, float)."""
     h, w = cfg.height, cfg.width
     depth_sup = batch["depth"]
-    valid = ((depth_sup >= cfg.min_depth) &
-             (depth_sup <= cfg.max_depth)).astype(depth_sup.dtype)
     pyr = color_pyramid(batch["color"], cfg.scales)
 
     logs = {}
     total = 0.0
     for s in cfg.scales:
         disp = outputs[("disp", s)]
-        disp_full = resize_bilinear(disp, (h, w)) if s else disp
+        if cfg.v1_multiscale:
+            disp_full = disp           # loss at the scale's own resolution
+        else:
+            disp_full = resize_bilinear(disp, (h, w)) if s else disp
         _, depth = disp_to_depth(disp_full, cfg.min_depth, cfg.max_depth)
 
-        l_depth = masked_l1_depth_loss(depth_sup, depth, valid)
-        l_normals = supervised_normals_loss(depth_sup, depth, batch["K"], valid)
+        l_depth, l_normals = supervised_scale_terms(
+            cfg, depth, depth_sup, batch["K"], s)
 
         mean_disp = jnp.mean(disp, axis=(1, 2), keepdims=True)
         norm_disp = disp / (mean_disp + 1e-7)

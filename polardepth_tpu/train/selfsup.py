@@ -27,18 +27,81 @@ from polardepth_tpu.config import Config
 from polardepth_tpu.models.network import PolarDepthNet
 from polardepth_tpu.models.resnet import ResNet18Encoder
 from polardepth_tpu.models.pose import PoseDecoder
-from polardepth_tpu.ops.camera import backproject_depth, project_3d
-from polardepth_tpu.ops.depth import disp_to_depth
-from polardepth_tpu.ops.losses import (
-    reprojection_loss, smooth_loss, masked_l1_depth_loss,
-    supervised_normals_loss,
+from polardepth_tpu.data.augment import color_jitter
+from polardepth_tpu.ops.camera import (
+    backproject_depth, project_3d, scale_intrinsics,
 )
-from polardepth_tpu.ops.resize import resize_bilinear
+from polardepth_tpu.ops.depth import disp_to_depth
+from polardepth_tpu.ops.losses import reprojection_loss, smooth_loss
+from polardepth_tpu.ops.resize import (
+    resize_bilinear, resize_antialias,
+)
 from polardepth_tpu.ops.se3 import (
     transformation_from_parameters, rotmat_to_rotvec,
 )
 from polardepth_tpu.ops.warp import grid_sample
 from polardepth_tpu.train.losses import color_pyramid
+
+
+def color_jitter_frames(key: jax.Array, frames: jnp.ndarray,
+                        apply_prob: float = 0.5) -> jnp.ndarray:
+    """Jitter (B, F, H, W, 3) with ONE factor draw per sample shared across
+    its frames — the reference builds a single ColorJitter transform per
+    item and applies it to every frame (indoor_dataset.py:402-407)."""
+    return jax.vmap(lambda fr: color_jitter(key, fr, apply_prob=apply_prob),
+                    in_axes=1, out_axes=1)(frames)
+
+
+def _resize_frames(frames: jnp.ndarray, hw) -> jnp.ndarray:
+    b, f = frames.shape[:2]
+    flat = frames.reshape(b * f, *frames.shape[2:])
+    out = resize_antialias(flat, hw)
+    return out.reshape(b, f, *out.shape[1:])
+
+
+def preprocess_multiframe(batch: dict, cfg: Config, key: jax.Array,
+                          train: bool = True) -> dict:
+    """Raw multi-frame host batch (uint8, possibly native resolution) ->
+    working-resolution float tensors inside the jit graph, plus the
+    color-augmented copy the encoders consume (the reference resizes every
+    frame to (H, W) and jitters in DataLoader workers,
+    indoor_dataset.py:277-428; trainer.py:497 feeds color_aug to the nets
+    and the clean colors to the losses)."""
+    h, w = cfg.height, cfg.width
+    cf = batch["color_frames"].astype(jnp.float32) / 255.0
+    if cf.shape[2:4] != (h, w):
+        cf = _resize_frames(cf, (h, w))
+    pb = {"color_frames": cf, "color": cf[:, 0], "K": batch["K"],
+          "inv_K": batch["inv_K"]}
+    pb["color_frames_aug"] = (color_jitter_frames(key, cf) if train else cf)
+
+    if "pol" in batch:
+        pol = batch["pol"].astype(jnp.float32)  # keep 0..255 scale for XOLP
+        if pol.shape[1:3] != (h, w):
+            pol = resize_antialias(pol, (h, w))
+        pb["pol"] = pol
+    if "depth" in batch:
+        d = batch["depth"].astype(jnp.float32)
+        if d.shape[1:3] != (h, w):
+            d = resize_bilinear(d, (h, w))
+        pb["depth"] = d
+    if "rel_poses" in batch:
+        pb["rel_poses"] = batch["rel_poses"]
+    return pb
+
+
+def frames_pyramid(color_frames: jnp.ndarray, scales,
+                   v1_multiscale: bool) -> dict:
+    """{scale: (B, F, H/2^s, W/2^s, 3)} source pyramids; only scale 0 unless
+    v1_multiscale (reference source_scale logic, trainer.py:1140-1145)."""
+    pyr = {0: color_frames}
+    if v1_multiscale:
+        _, _, h, w, _ = color_frames.shape
+        for s in scales:
+            if s:
+                pyr[s] = _resize_frames(color_frames,
+                                        (h // 2 ** s, w // 2 ** s))
+    return pyr
 
 
 class PoseNet(nn.Module):
@@ -198,75 +261,99 @@ def generate_images_pred(cfg: Config, disps: dict, poses: dict,
                          inv_K: jnp.ndarray):
     """Warp each source frame into frame 0 through the predicted depth and
     pose at every scale (trainer.py:983-1067; grid_sample border padding,
-    align_corners=True).  Returns ({("color", f, s)}, {("depth", 0, s)})."""
+    align_corners=True).  Returns ({("color", f, s)}, {("depth", 0, s)}).
+
+    color_frames: (B, F, H, W, 3) float in [0, 1] at working resolution
+    (clean, non-augmented — reprojection targets must be unjittered).
+    v1_multiscale: warping and depth stay at each scale's own resolution
+    with scaled intrinsics (reference source_scale = scale branch,
+    trainer.py:996-1001)."""
     h, w = cfg.height, cfg.width
-    frame_order = [f for f in cfg.frame_ids if f != 0]
     warped = {}
     depths = {}
-    colors_f32 = color_frames.astype(jnp.float32)
+    colors = color_frames.astype(jnp.float32)
+    pyr = frames_pyramid(colors, cfg.scales, cfg.v1_multiscale)
     for s in cfg.scales:
         disp = disps[("disp", s)]
-        disp_full = resize_bilinear(disp, (h, w)) if s else disp
-        _, depth = disp_to_depth(disp_full, cfg.min_depth, cfg.max_depth)
+        if cfg.v1_multiscale:
+            hs, ws = h // 2 ** s, w // 2 ** s
+            Ks = scale_intrinsics(K, 2.0 ** -s)
+            inv_Ks = jnp.linalg.inv(Ks)
+            src = pyr[s]
+        else:
+            hs, ws = h, w
+            Ks, inv_Ks = K, inv_K
+            disp = resize_bilinear(disp, (h, w)) if s else disp
+            src = pyr[0]
+        _, depth = disp_to_depth(disp, cfg.min_depth, cfg.max_depth)
         depths[("depth", 0, s)] = depth
-        points = backproject_depth(depth, inv_K)
+        points = backproject_depth(depth, inv_Ks)
         for i, f in enumerate(cfg.frame_ids):
             if f == 0:
                 continue
-            grid = project_3d(points, K, poses[f], h, w)
+            grid = project_3d(points, Ks, poses[f], hs, ws)
             warped[("color", f, s)] = grid_sample(
-                colors_f32[:, i], grid, padding_mode="border",
+                src[:, i], grid, padding_mode="border",
                 align_corners=True)
     return warped, depths
+
+
+def _reduce_frames(per_frame, avg: bool):
+    """Min over source frames (the ManyDepth default) or mean when
+    avg_reprojection (reference trainer.py:1176-1186)."""
+    stacked = jnp.concatenate(per_frame, axis=-1)
+    if avg:
+        return jnp.mean(stacked, axis=-1, keepdims=True)
+    return jnp.min(stacked, axis=-1, keepdims=True)
 
 
 def selfsup_losses(cfg: Config, rng: jax.Array, disps: dict, warped: dict,
                    depths: dict, batch: dict):
     """Monodepth2 loss with automasking (trainer.py:1126-1296, is_multi=False
     path), plus optional supervised depth/normals terms when
-    cfg.depth_supervision."""
-    h, w = cfg.height, cfg.width
+    cfg.depth_supervision.  Honors avg_reprojection (mean instead of min over
+    frames) and v1_multiscale (losses at each scale's own resolution)."""
     color0 = batch["color"]             # clean (non-aug) frame-0 pyramid src
-    target = color0
     pyr = color_pyramid(color0, cfg.scales)
+    src_pyr = frames_pyramid(batch["color_frames"], cfg.scales,
+                             cfg.v1_multiscale)
     frames = [f for f in cfg.frame_ids if f != 0]
+    frame_idx = {f: i for i, f in enumerate(cfg.frame_ids)}
 
-    # identity reprojection (static-scene automask), shared across scales
-    identity_losses = []
-    for i, f in enumerate(cfg.frame_ids):
-        if f == 0:
-            continue
-        src = batch["color_frames"][:, i].astype(jnp.float32) / 255.0
-        identity_losses.append(reprojection_loss(src, target, not cfg.no_ssim))
-    identity = jnp.min(jnp.concatenate(identity_losses, axis=-1), axis=-1,
-                       keepdims=True)
-    # random tie-break noise (trainer.py:1192-1194)
-    identity = identity + jax.random.normal(rng, identity.shape) * 1e-5
+    def identity_at(s: int):
+        """Static-scene (identity) reprojection at a source scale, with the
+        random tie-break noise (trainer.py:1192-1194)."""
+        target = pyr[s]
+        per_frame = [reprojection_loss(src_pyr[s][:, frame_idx[f]], target,
+                                       not cfg.no_ssim) for f in frames]
+        ident = _reduce_frames(per_frame, cfg.avg_reprojection)
+        return ident + jax.random.normal(
+            jax.random.fold_in(rng, s), ident.shape) * 1e-5
+
+    identity0 = None if cfg.disable_automasking or cfg.v1_multiscale \
+        else identity_at(0)
 
     logs = {}
     total = 0.0
-    if cfg.depth_supervision:
-        depth_sup = batch["depth"]
-        valid = ((depth_sup >= cfg.min_depth) &
-                 (depth_sup <= cfg.max_depth)).astype(jnp.float32)
-
     for s in cfg.scales:
-        reproj = jnp.min(jnp.concatenate(
+        source_scale = s if cfg.v1_multiscale else 0
+        target = pyr[source_scale]
+        reproj = _reduce_frames(
             [reprojection_loss(warped[("color", f, s)], target,
                                not cfg.no_ssim) for f in frames],
-            axis=-1), axis=-1, keepdims=True)
+            cfg.avg_reprojection)
         if cfg.disable_automasking:
             mask = jnp.ones_like(reproj)
         else:
+            identity = identity0 if identity0 is not None else identity_at(s)
             mask = (reproj < identity).astype(jnp.float32)
         loss_s = jnp.sum(reproj * mask) / (jnp.sum(mask) + 1e-7)
         logs[f"reproj_loss/{s}"] = loss_s
 
         if cfg.depth_supervision:
-            depth = depths[("depth", 0, s)]
-            l_dep = masked_l1_depth_loss(depth_sup, depth, valid)
-            l_nrm = supervised_normals_loss(depth_sup, depth, batch["K"],
-                                            valid)
+            from polardepth_tpu.train.losses import supervised_scale_terms
+            l_dep, l_nrm = supervised_scale_terms(
+                cfg, depths[("depth", 0, s)], batch["depth"], batch["K"], s)
             logs[f"supervised_depth_loss/{s}"] = l_dep
             loss_s = loss_s + l_dep + cfg.normals_loss_weight * l_nrm
 
@@ -347,31 +434,30 @@ def residual_reprojection_loss(cfg: Config, rng: jax.Array, pose_params,
 
 def make_selfsup_train_step(model: SelfSupModel, cfg: Config):
     """Jitted train step for the self-supervised graph; batch needs
-    color_frames (B,F,H,W,3) uint8, pol, K, inv_K (+ depth when
-    cfg.depth_supervision, rel_poses when cfg.supervise_pose)."""
+    color_frames (B,F,Hn,Wn,3) uint8 (any resolution — resized to the
+    working resolution on device), pol, K, inv_K (+ depth when
+    cfg.depth_supervision, rel_poses when cfg.supervise_pose).  The encoders
+    see the color-jittered copy; losses use the clean frames
+    (reference trainer.py:497)."""
     needs_pol = cfg.augment_xolp or cfg.augment_normals
 
     def step(state, batch: dict, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
-        k_noise, k_res, k_drop = jax.random.split(rng, 3)
-        color_frames = batch["color_frames"].astype(jnp.float32) / 255.0
-        pb = {
-            "color": color_frames[:, 0],
-            "color_frames": batch["color_frames"],
-            "K": batch["K"],
-        }
+        k_jit, k_noise, k_res, k_drop = jax.random.split(rng, 4)
+        pb = preprocess_multiframe(batch, cfg, k_jit, train=True)
         if cfg.depth_supervision:
-            pb["depth"] = batch["depth"].astype(jnp.float32)
+            pb.setdefault("depth", batch["depth"].astype(jnp.float32))
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             (disps, poses), mut = model.apply(
-                variables, color_frames,
-                pol=batch["pol"].astype(jnp.float32) if needs_pol else None,
+                variables, pb["color_frames_aug"],
+                pol=pb["pol"] if needs_pol else None,
                 train=True, rngs={"dropout": k_drop},
                 mutable=["batch_stats"])
             warped, depths = generate_images_pred(
-                cfg, disps, poses, color_frames, batch["K"], batch["inv_K"])
+                cfg, disps, poses, pb["color_frames"], pb["K"],
+                batch["inv_K"])
             loss, logs = selfsup_losses(cfg, k_noise, disps, warped, depths,
                                         pb)
             if cfg.res_pose:
@@ -395,5 +481,24 @@ def make_selfsup_train_step(model: SelfSupModel, cfg: Config):
         new_state = state.apply_gradients(
             grads=grads, batch_stats=mut["batch_stats"])
         return new_state, logs
+
+    return step
+
+
+def make_selfsup_infer_step(model: SelfSupModel, cfg: Config):
+    """Depth inference through the mono depth net of the self-supervised
+    graph (for eval tables / image logging in the alternative-path loops)."""
+    needs_pol = cfg.augment_xolp or cfg.augment_normals
+
+    def step(state, batch: dict):
+        key = jax.random.PRNGKey(0)  # train=False: jitter is bypassed
+        pb = preprocess_multiframe(batch, cfg, key, train=False)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        disps, _ = model.apply(
+            variables, pb["color_frames"],
+            pol=pb["pol"] if needs_pol else None, train=False)
+        _, depth = disp_to_depth(disps[("disp", 0)], cfg.min_depth,
+                                 cfg.max_depth)
+        return jnp.clip(depth, cfg.min_depth, cfg.max_depth)
 
     return step

@@ -41,6 +41,7 @@ from polardepth_tpu.ops.resize import resize_bilinear, resize_nearest
 from polardepth_tpu.train.losses import color_pyramid
 from polardepth_tpu.train.selfsup import (
     SelfSupModel, generate_images_pred, selfsup_losses,
+    preprocess_multiframe, _reduce_frames,
 )
 
 
@@ -148,13 +149,18 @@ def student_losses(cfg: Config, rng: jax.Array, student_disps: dict,
     logs = {}
     total = 0.0
     for s in cfg.scales:
-        reproj = jnp.min(jnp.concatenate(
-            [reprojection_loss(warped[("color", f, s)], color0,
+        source_scale = s if cfg.v1_multiscale else 0
+        target = pyr[source_scale]
+        reproj = _reduce_frames(
+            [reprojection_loss(warped[("color", f, s)], target,
                                not cfg.no_ssim) for f in frames],
-            axis=-1), axis=-1, keepdims=True)
+            cfg.avg_reprojection)
         mask = jnp.ones_like(reproj)
         if not cfg.disable_motion_masking:
-            mask = mask * consistency_mask
+            cmask = consistency_mask
+            if cfg.v1_multiscale and s:
+                cmask = resize_nearest(cmask, reproj.shape[1:3])
+            mask = mask * cmask
         if not cfg.no_matching_augmentation:
             mask = mask * (1.0 - aug_mask)
         cons_mask = 1.0 - mask
@@ -201,11 +207,17 @@ def make_student_train_step(model: StudentModel, cfg: Config,
     def step(state, trackers, batch: dict, rng: jax.Array):
         min_bin, max_bin = trackers
         rng = jax.random.fold_in(rng, state.step)
-        k_aug, k_noise, k_drop = jax.random.split(rng, 3)
-        color_frames = batch["color_frames"].astype(jnp.float32) / 255.0
+        k_jit, k_aug, k_noise, k_drop = jax.random.split(rng, 4)
+        pb = preprocess_multiframe(batch, cfg, k_jit, train=True)
+        if cfg.depth_supervision:
+            pb.setdefault("depth", batch["depth"].astype(jnp.float32))
+        color_frames = pb["color_frames"]          # clean, working res
+        color_aug = pb["color_frames_aug"]         # encoder/pose input
         matching_idx = [list(cfg.frame_ids).index(f)
-                        for f in (-1,)]  # matching_ids[1:]
-        lookup = color_frames[:, matching_idx]
+                        for f in cfg.matching_ids if f != 0]
+        # lookup frames come from the augmented copy (reference
+        # trainer.py:491)
+        lookup = color_aug[:, matching_idx]
         # pose_input=True: GT relative poses from the dataset; otherwise the
         # teacher's pose net predicts them inside the model (reference
         # default, trainer.py:581-584 vs 708-746)
@@ -221,16 +233,12 @@ def make_student_train_step(model: StudentModel, cfg: Config,
 
         K4 = batch["K"].at[:, 0].multiply(0.25).at[:, 1].multiply(0.25)
         inv_K4 = jnp.linalg.inv(K4)
-        pb = {"color": color_frames[:, 0],
-              "color_frames": batch["color_frames"], "K": batch["K"]}
-        if cfg.depth_supervision:
-            pb["depth"] = batch["depth"].astype(jnp.float32)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             ((disps, poses), (sdisps, lowest, conf)), mut = model.apply(
-                variables, color_frames,
-                batch["pol"].astype(jnp.float32) if needs_pol else None,
+                variables, color_aug,
+                pb["pol"] if needs_pol else None,
                 lookup, rel, K4, inv_K4, min_bin, max_bin,
                 train=True, freeze_teacher=freeze_teacher,
                 pose_zero_mask=pose_zero_mask,
@@ -269,5 +277,33 @@ def make_student_train_step(model: StudentModel, cfg: Config,
             trackers = update_depth_bin_trackers(
                 min_bin, max_bin, mono_d0, cfg.min_depth)
         return new_state, trackers, logs
+
+    return step
+
+
+def make_student_infer_step(model: StudentModel, cfg: Config):
+    """Student (cost-volume) depth inference for eval: lookup frames through
+    GT poses when pose_input else the teacher's predicted matching poses
+    (the reference's multi-model eval path, trainer.py:825-860)."""
+    from polardepth_tpu.ops.depth import disp_to_depth as d2d
+
+    def step(state, trackers, batch: dict):
+        min_bin, max_bin = trackers
+        pb = preprocess_multiframe(batch, cfg, jax.random.PRNGKey(0),
+                                   train=False)
+        color_frames = pb["color_frames"]
+        matching_idx = [list(cfg.frame_ids).index(f)
+                        for f in cfg.matching_ids if f != 0]
+        lookup = color_frames[:, matching_idx]
+        rel = batch["rel_poses"][:, matching_idx] if cfg.pose_input else None
+        K4 = batch["K"].at[:, 0].multiply(0.25).at[:, 1].multiply(0.25)
+        inv_K4 = jnp.linalg.inv(K4)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        (_, (sdisps, _, _)) = model.apply(
+            variables, color_frames, pb["pol"] if
+            (cfg.augment_xolp or cfg.augment_normals) else None,
+            lookup, rel, K4, inv_K4, min_bin, max_bin, train=False)
+        _, depth = d2d(sdisps[("disp", 0)], cfg.min_depth, cfg.max_depth)
+        return jnp.clip(depth, cfg.min_depth, cfg.max_depth)
 
     return step

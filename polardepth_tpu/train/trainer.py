@@ -165,6 +165,9 @@ class Trainer:
         self.state = create_train_state(
             self.model, {"params": init_rng, "dropout": init_rng},
             example, schedule)
+        if cfg.weights_init == "pretrained":
+            from polardepth_tpu.train.pretrained import maybe_apply_pretrained
+            self.state = maybe_apply_pretrained(self.state, cfg, self.log)
         # Replicate state over the mesh; batches are split on 'data'.
         repl = replicated_sharding(self.mesh)
         self.state = jax.device_put(self.state, repl)
@@ -192,12 +195,16 @@ class Trainer:
     # -- public API -----------------------------------------------------------
 
     def train_epoch(self, batches: Iterable[dict],
-                    steps_per_call: int = 1) -> dict:
+                    steps_per_call: int = 1, periodic_cb=None) -> dict:
         """One pass over `batches`; returns the last step's logs.
 
         steps_per_call > 1 groups that many batches into a single jitted
         lax.scan call (same numerics, one dispatch) — use 8-32 when dispatch
         latency is significant relative to step compute.
+
+        periodic_cb(global_step, logs): invoked on the reference's logging
+        cadence — every log_frequency batches while step < 2000, then every
+        2000 steps (trainer.py:447-461).
         """
         logs = {}
         t0 = time.time()
@@ -220,6 +227,13 @@ class Trainer:
                                                           self.rng)
             n += len(pending)
             pending.clear()
+            if periodic_cb is not None:
+                step = int(self.state.step)
+                early = (n % max(self.cfg.log_frequency, 1) == 0
+                         and step < 2000)
+                late = step % 2000 == 0
+                if early or late:
+                    periodic_cb(step, logs)
 
         for batch in batches:
             pending.append(batch)
@@ -277,9 +291,26 @@ class Trainer:
         results = {}
         if eval_batches_fn is not None:
             results["initial"] = self.evaluate(eval_batches_fn())
+
+        periodic_cb = None
+        if writer is not None and eval_batches_fn is not None:
+            def periodic_cb(step, logs):
+                """log_frequency cadence: train scalars + single-batch val
+                (reference trainer.py:447-461)."""
+                writer.scalars("train", step,
+                               {k: float(v) for k, v in logs.items()})
+                batch = next(iter(eval_batches_fn()))
+                db = self._shard(batch, EVAL_BATCH_KEYS)
+                acc = self._eval_step(self.state, db, empty_accumulator())
+                table = accumulator_result(jax.device_get(acc))
+                row = table.get("all", {})
+                writer.scalars("val", step, {k: float(v) for k, v in
+                                             row.items() if k != "frames"})
+
         start_epoch = (int(self.state.step) // max(self.steps_per_epoch, 1))
         for e in range(start_epoch, num_epochs):
-            logs = self.train_epoch(train_batches_fn(), steps_per_call)
+            logs = self.train_epoch(train_batches_fn(), steps_per_call,
+                                    periodic_cb)
             self.log(f"epoch {e}: loss={logs.get('loss', float('nan')):.5f} "
                      f"({logs.get('examples_per_sec', 0):.1f} ex/s)")
             if writer is not None:
