@@ -110,6 +110,11 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                    default=d.supervise_pose)
     p.add_argument("--res_pose", action="store_true", default=d.res_pose)
     p.add_argument("--use_pallas", action="store_true", default=d.use_pallas)
+    p.add_argument("--enable_12channels", action="store_true",
+                   default=d.enable_12channels)
+    p.add_argument("--mesh_shape", type=lambda s: tuple(
+        int(x) for x in s.split(",")), default=d.mesh_shape,
+        help="device mesh shape, e.g. '-1' (all devices on data axis), '1'")
 
 
 def _config_from_args(a) -> Config:

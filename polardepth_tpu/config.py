@@ -52,6 +52,11 @@ class Config:
     supervise_pose: bool = False
     res_pose: bool = False           # residual-pose refinement pass
     use_attention: bool = False      # arch1++_attention variant
+    # 12-channel mode: the depth encoder consumes the four polarization
+    # captures (each replicated to 3 channels, reference order
+    # pol00/pol10/pol01/pol11) instead of the RGB frame
+    # (reference indoor_dataset.py:85-86, 220-256, 322-333).
+    enable_12channels: bool = False
     num_layers: int = 18
     weights_init: str = "scratch"    # "pretrained" loads pretrained_weights_path
     # Converted torchvision ResNet18 ImageNet .npz (one-time offline dump via

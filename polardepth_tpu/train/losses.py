@@ -72,6 +72,29 @@ def preprocess_batch(batch: dict, cfg: Config, dtype=jnp.float32) -> dict:
     return out
 
 
+def twelve_channel_input(pol: jnp.ndarray) -> jnp.ndarray:
+    """4 polarization captures (B, H, W, 4) in 0..255 -> the 12-channel
+    encoder input: each capture replicated to 3 channels and concatenated in
+    the reference's order pol00/pol10/pol01/pol11 = 0/90/45/135 deg
+    (indoor_dataset.py:220-256; our pol channel order is 0/45/90/135)."""
+    caps = [pol[..., i:i + 1] / 255.0 for i in (0, 2, 1, 3)]
+    return jnp.concatenate([jnp.repeat(c, 3, axis=-1) for c in caps],
+                           axis=-1)
+
+
+def jitter_12ch(key, x12: jnp.ndarray) -> jnp.ndarray:
+    """Color-jitter the four 3-channel groups with one factor draw per
+    sample (the reference applies the same per-item ColorJitter transform to
+    every capture, indoor_dataset.py:231-239)."""
+    import jax
+    from polardepth_tpu.data.augment import color_jitter
+    b, h, w, _ = x12.shape
+    groups = x12.reshape(b, h, w, 4, 3)
+    out = jax.vmap(lambda g: color_jitter(key, g), in_axes=3,
+                   out_axes=3)(groups)
+    return out.reshape(b, h, w, 12)
+
+
 def color_pyramid(color: jnp.ndarray, scales) -> Dict[int, jnp.ndarray]:
     """Clean-color pyramid for the smoothness loss (the reference builds it
     with successive PIL resizes; anti-aliased linear is the device analog)."""

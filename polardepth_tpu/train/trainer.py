@@ -37,7 +37,9 @@ from polardepth_tpu.ops.depth import disp_to_depth
 from polardepth_tpu.parallel.mesh import (
     create_mesh, batch_sharding, replicated_sharding,
 )
-from polardepth_tpu.train.losses import preprocess_batch, supervised_losses
+from polardepth_tpu.train.losses import (
+    preprocess_batch, supervised_losses, twelve_channel_input, jitter_12ch,
+)
 from polardepth_tpu.train.state import (
     TrainState, create_train_state, step_lr_schedule,
 )
@@ -59,6 +61,17 @@ def build_model(cfg: Config) -> PolarDepthNet:
     )
 
 
+def _encoder_input(cfg: Config, pb: dict, k_aug=None):
+    """The depth-encoder input: the jittered RGB frame, or in 12-channel
+    mode the stacked polarization captures (reference
+    indoor_dataset.py:220-256).  k_aug=None -> no jitter (eval)."""
+    if cfg.enable_12channels:
+        x = twelve_channel_input(pb["pol"])
+        return jitter_12ch(k_aug, x) if k_aug is not None else x
+    return color_jitter(k_aug, pb["color"]) if k_aug is not None \
+        else pb["color"]
+
+
 def make_train_step(model: PolarDepthNet, cfg: Config):
     needs_pol = cfg.augment_xolp or cfg.augment_normals
 
@@ -66,7 +79,7 @@ def make_train_step(model: PolarDepthNet, cfg: Config):
         rng = jax.random.fold_in(rng, state.step)
         k_aug, k_drop = jax.random.split(rng)
         pb = preprocess_batch(batch, cfg)
-        color_aug = color_jitter(k_aug, pb["color"])
+        color_aug = _encoder_input(cfg, pb, k_aug)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -113,7 +126,7 @@ def make_eval_step(model: PolarDepthNet, cfg: Config):
         pb = preprocess_batch(batch, cfg)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         outputs = model.apply(
-            variables, pb["color"],
+            variables, _encoder_input(cfg, pb),
             pol=pb["pol"] if needs_pol else None, train=False)
         _, depth = disp_to_depth(outputs[("disp", 0)], cfg.min_depth,
                                  cfg.max_depth)
@@ -132,7 +145,7 @@ def make_infer_step(model: PolarDepthNet, cfg: Config):
         pb = preprocess_batch(batch, cfg)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         outputs = model.apply(
-            variables, pb["color"],
+            variables, _encoder_input(cfg, pb),
             pol=pb["pol"] if needs_pol else None, train=False)
         _, depth = disp_to_depth(outputs[("disp", 0)], cfg.min_depth,
                                  cfg.max_depth)
@@ -157,8 +170,9 @@ class Trainer:
             cfg.scheduler_gamma, cfg.num_epochs)
         init_rng, self.rng = jax.random.split(self.rng)
         h, w = cfg.height, cfg.width
+        in_ch = 12 if cfg.enable_12channels else 3
         example = {
-            "color": jnp.zeros((1, h, w, 3), jnp.float32),
+            "color": jnp.zeros((1, h, w, in_ch), jnp.float32),
             "pol": (jnp.zeros((1, h, w, 4), jnp.float32)
                     if (cfg.augment_xolp or cfg.augment_normals) else None),
         }

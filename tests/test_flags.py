@@ -144,3 +144,42 @@ def test_log_frequency_periodic_callback():
                         periodic_cb=lambda step, logs: calls.append(step))
     # steps 2 and 4 are multiples of log_frequency=2 within the early phase
     assert calls == [2, 4]
+
+
+def test_12channel_mode_end_to_end(tmp_path):
+    """--enable_12channels drives a full train run from the CLI: the depth
+    encoder consumes the four stacked polarization captures (12 channels)
+    instead of RGB (reference indoor_dataset.py:85-86, 220-256)."""
+    from polardepth_tpu import cli
+    rc = cli.main([
+        "train", "--synthetic", "2", "--height", "32", "--width", "32",
+        "--batch_size", "2", "--num_epochs", "1", "--dropout_rate", "0",
+        "--no_augment_xolp", "--no_augment_normals", "--enable_12channels",
+        "--mesh_shape", "1", "--model_name", "t12", "--log_dir",
+        str(tmp_path),
+    ])
+    assert rc == 0
+
+    # conv1 actually widened to 12 input channels
+    from polardepth_tpu.config import Config
+    from polardepth_tpu.train.trainer import Trainer
+    cfg = Config(height=32, width=32, batch_size=2, enable_12channels=True,
+                 augment_xolp=False, augment_normals=False, mesh_shape=(1,),
+                 dropout_rate=0.0, donate_state=False)
+    tr = Trainer(cfg, steps_per_epoch=1, log_fn=lambda *_: None)
+    k = tr.state.params["rgb_encoder"]["Conv_0"]["kernel"]
+    assert k.shape == (7, 7, 12, 64)
+
+
+def test_twelve_channel_input_order():
+    """Channel order matches the reference: pol00/pol10/pol01/pol11 =
+    our pol channels 0/2/1/3, each replicated x3 and scaled to [0,1]."""
+    from polardepth_tpu.train.losses import twelve_channel_input
+    pol = jnp.stack([jnp.full((1, 2, 2), v) for v in
+                     (255.0, 51.0, 102.0, 204.0)], axis=-1)
+    x = np.asarray(twelve_channel_input(pol))
+    assert x.shape == (1, 2, 2, 12)
+    expected = [1.0, 0.4, 0.2, 0.8]  # 0deg, 90deg, 45deg, 135deg
+    for g in range(4):
+        np.testing.assert_allclose(x[..., 3 * g:3 * g + 3],
+                                   expected[g], rtol=1e-6)
