@@ -24,6 +24,15 @@ class BatchIterator:
 
     drop_last=True always (static shapes; reference uses drop_last=True for
     all three loaders, trainer.py:281-303).
+
+    Checkpointable: the shuffle order is a pure function of (seed, epoch) and
+    the position within the epoch is tracked in `cursor`, so `state()` /
+    `set_state()` make mid-epoch resume exact — a restored iterator yields
+    the identical remaining batch sequence (the reference's torch DataLoader
+    cannot do this; its resume granularity is the epoch, SURVEY §5).
+    `cursor` advances when a batch is handed to the consumer, i.e. a snapshot
+    taken after training on batch b resumes at b+1.  Snapshot only between
+    steps with no async prefetch in flight (the Trainer path satisfies this).
     """
 
     def __init__(self, load_fn: Callable[[int], dict], num_samples: int,
@@ -37,9 +46,34 @@ class BatchIterator:
         self.num_workers = num_workers
         self.array_keys = array_keys
         self.epoch = 0
+        self.cursor = 0
+        self._resume_pending = False
 
     def __len__(self) -> int:
         return self.num_samples // self.batch_size
+
+    def state(self) -> dict:
+        """Snapshot for checkpointing (plain ints: orbax/json friendly)."""
+        return {"seed": int(self.seed), "epoch": int(self.epoch),
+                "cursor": int(self.cursor)}
+
+    def set_state(self, state: dict) -> None:
+        """Arm an exact resume: the next __iter__ starts at the snapshot's
+        (epoch, cursor) instead of the top of an epoch."""
+        if int(state["seed"]) != int(self.seed):
+            raise ValueError(
+                f"iterator seed mismatch: checkpoint {state['seed']} vs "
+                f"configured {self.seed}")
+        self.epoch = int(state["epoch"])
+        self.cursor = int(state["cursor"])
+        self._resume_pending = True
+
+    def _order(self) -> np.ndarray:
+        order = np.arange(self.num_samples)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+        return order
 
     def _stack(self, samples: list[dict]) -> dict:
         keys = self.array_keys or [
@@ -47,17 +81,22 @@ class BatchIterator:
         return {k: np.stack([s[k] for s in samples]) for k in keys}
 
     def __iter__(self) -> Iterator[dict]:
-        order = np.arange(self.num_samples)
-        if self.shuffle:
-            rng = np.random.default_rng(self.seed + self.epoch)
-            rng.shuffle(order)
-        self.epoch += 1
+        # A fresh pass starts at batch 0 unless set_state() just armed an
+        # exact resume — so abandoned partial passes (e.g. a single-batch
+        # validation pull) cannot shift later epochs.
+        start = self.cursor if self._resume_pending else 0
+        self._resume_pending = False
+        self.cursor = start
+        order = self._order()
         n_batches = len(self)
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            for b in range(n_batches):
+            for b in range(start, n_batches):
                 idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
                 samples = list(pool.map(self.load_fn, idxs))
+                self.cursor = b + 1
                 yield self._stack(samples)
+        self.epoch += 1
+        self.cursor = 0
 
 
 def device_prefetch(it: Iterator[dict], sharding=None,

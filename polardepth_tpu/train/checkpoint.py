@@ -47,12 +47,22 @@ def save(directory: str, state, cfg: Optional[Config] = None,
 
 def restore(path: str, state, extra=None):
     """Restore into an existing (abstract or concrete) state template.
-    With an `extra` template, returns (state, extra); else just state."""
+    With an `extra` template, returns (state, extra); else just state.
+    A checkpoint written without `extra` restores with the template's own
+    extra values (so resume still works, just without e.g. exact data-order
+    recovery)."""
     tree = {"params": state.params, "batch_stats": state.batch_stats,
             "opt_state": state.opt_state, "step": state.step}
     if extra is not None:
         tree["extra"] = extra
-    restored = _checkpointer().restore(os.path.abspath(path), item=tree)
+    try:
+        restored = _checkpointer().restore(os.path.abspath(path), item=tree)
+    except Exception:
+        if extra is None:
+            raise
+        del tree["extra"]
+        restored = _checkpointer().restore(os.path.abspath(path), item=tree)
+        restored["extra"] = extra
     state = state.replace(params=restored["params"],
                           batch_stats=restored["batch_stats"],
                           opt_state=restored["opt_state"],

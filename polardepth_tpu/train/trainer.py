@@ -209,7 +209,8 @@ class Trainer:
     # -- public API -----------------------------------------------------------
 
     def train_epoch(self, batches: Iterable[dict],
-                    steps_per_call: int = 1, periodic_cb=None) -> dict:
+                    steps_per_call: int = 1, periodic_cb=None,
+                    flush_cb=None) -> dict:
         """One pass over `batches`; returns the last step's logs.
 
         steps_per_call > 1 groups that many batches into a single jitted
@@ -219,6 +220,9 @@ class Trainer:
         periodic_cb(global_step, logs): invoked on the reference's logging
         cadence — every log_frequency batches while step < 2000, then every
         2000 steps (trainer.py:447-461).
+
+        flush_cb(global_step): invoked after every dispatched step group —
+        the hook for mid-epoch checkpointing.
         """
         logs = {}
         t0 = time.time()
@@ -248,6 +252,8 @@ class Trainer:
                 late = step % 2000 == 0
                 if early or late:
                     periodic_cb(step, logs)
+            if flush_cb is not None:
+                flush_cb(int(self.state.step))
 
         for batch in batches:
             pending.append(batch)
@@ -286,7 +292,8 @@ class Trainer:
     def fit(self, train_batches_fn, eval_batches_fn=None,
             num_epochs: Optional[int] = None,
             checkpoint_dir: Optional[str] = None,
-            steps_per_call: int = 1, writer=None) -> dict:
+            steps_per_call: int = 1, writer=None,
+            save_every_steps: Optional[int] = None) -> dict:
         """Run the reference's train() protocol: evaluate before epoch 0,
         then per-epoch train + periodic eval/save (trainer.py:379-402).
 
@@ -294,13 +301,34 @@ class Trainer:
         latest is restored before training — step-granular preemption
         recovery the reference lacks (SURVEY §5: its granularity is the
         epoch and there is no auto-resume at all).
+
+        Exact data resume: pass a checkpointable BatchIterator as
+        `train_batches_fn` (the bare object, not a lambda).  Its shuffle
+        order + cursor are persisted with every checkpoint and re-armed on
+        resume, so a killed run continues with the identical batch sequence.
+        `save_every_steps` additionally checkpoints mid-epoch on that step
+        cadence.
         """
         from polardepth_tpu.train import checkpoint as ckpt
         num_epochs = num_epochs or self.cfg.num_epochs
+        data_iter = None
+        if not callable(train_batches_fn):
+            data_iter = train_batches_fn
+            train_batches_fn = lambda: iter(data_iter)  # noqa: E731
+
+        def ckpt_extra():
+            return {"data": data_iter.state()} if data_iter is not None \
+                else None
+
         if checkpoint_dir:
             latest = ckpt.latest_step_dir(checkpoint_dir)
             if latest:
-                self.state = ckpt.restore(latest, self.state)
+                if data_iter is not None:
+                    self.state, extra = ckpt.restore(latest, self.state,
+                                                     extra=ckpt_extra())
+                    data_iter.set_state(extra["data"])
+                else:
+                    self.state = ckpt.restore(latest, self.state)
                 self.log(f"resumed from {latest} (step {int(self.state.step)})")
         results = {}
         if eval_batches_fn is not None:
@@ -321,10 +349,17 @@ class Trainer:
                 writer.scalars("val", step, {k: float(v) for k, v in
                                              row.items() if k != "frames"})
 
+        flush_cb = None
+        if checkpoint_dir and save_every_steps:
+            def flush_cb(step):
+                if step % save_every_steps == 0:
+                    ckpt.save(checkpoint_dir, self.state, self.cfg,
+                              extra=ckpt_extra())
+
         start_epoch = (int(self.state.step) // max(self.steps_per_epoch, 1))
         for e in range(start_epoch, num_epochs):
             logs = self.train_epoch(train_batches_fn(), steps_per_call,
-                                    periodic_cb)
+                                    periodic_cb, flush_cb)
             self.log(f"epoch {e}: loss={logs.get('loss', float('nan')):.5f} "
                      f"({logs.get('examples_per_sec', 0):.1f} ex/s)")
             if writer is not None:
@@ -334,7 +369,8 @@ class Trainer:
                     results[f"epoch_{e}"] = self.evaluate(eval_batches_fn())
                     self._log_images(eval_batches_fn, writer)
                 if checkpoint_dir:
-                    ckpt.save(checkpoint_dir, self.state, self.cfg)
+                    ckpt.save(checkpoint_dir, self.state, self.cfg,
+                              extra=ckpt_extra())
         return results
 
     def _log_images(self, eval_batches_fn, writer) -> None:

@@ -147,3 +147,107 @@ def test_multi_step_scan_matches_sequential(overfit_setup):
         np.testing.assert_allclose(a, b, rtol=1e-2,
                                    atol=4.0 * cfg.learning_rate)
     assert int(t_seq.state.step) == int(t_scan.state.step) == 3
+
+
+# -- checkpointable input iterator (exact mid-epoch data resume) -------------
+
+from polardepth_tpu.data.pipeline import BatchIterator
+
+
+def _index_iterator(n=8, bs=2, seed=7, workers=1):
+    """BatchIterator whose batches carry their sample indices."""
+    return BatchIterator(lambda i: {"idx": np.array([i])}, n, bs,
+                         shuffle=True, seed=seed, num_workers=workers)
+
+
+def _drain(it, k=None):
+    out = []
+    for b in it:
+        out.append(tuple(int(x) for x in b["idx"].ravel()))
+        if k is not None and len(out) >= k:
+            break
+    return out
+
+
+def test_batch_iterator_exact_resume_mid_epoch():
+    ref = _index_iterator()
+    full = _drain(iter(ref)) + _drain(iter(ref))  # two epochs
+
+    it = _index_iterator()
+    head = _drain(iter(it), k=3)  # consume 3 batches, abandon the generator
+    snap = it.state()
+    assert snap == {"seed": 7, "epoch": 0, "cursor": 3}
+
+    fresh = _index_iterator()
+    fresh.set_state(snap)
+    tail = _drain(iter(fresh)) + _drain(iter(fresh))
+    assert head + tail == full
+
+
+def test_batch_iterator_partial_pull_does_not_shift_epochs():
+    """A single-batch validation pull (next(iter(...))) must not change the
+    sequence later full passes yield."""
+    ref = _index_iterator()
+    e0, e1 = _drain(iter(ref)), _drain(iter(ref))
+
+    it = _index_iterator()
+    a = _drain(iter(it))
+    next(iter(it))  # abandoned partial pass
+    b = _drain(iter(it))
+    assert (a, b) == (e0, e1)
+
+
+def test_batch_iterator_seed_mismatch_rejected():
+    it = _index_iterator(seed=7)
+    with pytest.raises(ValueError):
+        it.set_state({"seed": 8, "epoch": 0, "cursor": 1})
+
+
+def test_fit_kill_resume_identical_batch_sequence(tmp_path):
+    """Kill a fit() mid-epoch, resume from the checkpoint in a fresh process
+    state: the consumed batch sequence across kill+resume must equal an
+    uninterrupted run's, and the final parameters must match."""
+    cfg = tiny_config(num_epochs=2, save_frequency=10)
+    gen = SyntheticHammer(cfg.height, cfg.width, seed=0)
+    n_samples, spe = 8, 4  # batch 2 -> 4 steps/epoch
+
+    def make_iter(log, bomb_at=None):
+        calls = {"n": 0}
+
+        def load(i):
+            if bomb_at is not None and calls["n"] >= bomb_at:
+                raise KeyboardInterrupt("simulated preemption")
+            calls["n"] += 1
+            log.append(int(i))
+            return {k: v[0] for k, v in gen.batch(1, start=int(i)).items()}
+
+        return BatchIterator(load, n_samples, cfg.batch_size,
+                             shuffle=True, seed=cfg.seed, num_workers=1)
+
+    # uninterrupted reference run
+    ref_log = []
+    t_ref = Trainer(cfg, steps_per_epoch=spe, log_fn=lambda *_: None)
+    t_ref.fit(make_iter(ref_log), num_epochs=2)
+    assert int(t_ref.state.step) == 8
+
+    # interrupted run: dies while loading the 4th batch (after 3 trained)
+    ckdir = str(tmp_path / "ck")
+    log1 = []
+    t1 = Trainer(cfg, steps_per_epoch=spe, log_fn=lambda *_: None)
+    with pytest.raises(KeyboardInterrupt):
+        t1.fit(make_iter(log1, bomb_at=3 * cfg.batch_size), num_epochs=2,
+               checkpoint_dir=ckdir, save_every_steps=1)
+    assert len(log1) == 3 * cfg.batch_size
+
+    # resume in a fresh trainer + fresh iterator
+    log2 = []
+    t2 = Trainer(cfg, steps_per_epoch=spe, log_fn=lambda *_: None)
+    t2.fit(make_iter(log2), num_epochs=2, checkpoint_dir=ckdir,
+           save_every_steps=1)
+    assert int(t2.state.step) == 8
+    assert log1 + log2 == ref_log
+
+    p_ref = jax.tree_util.tree_leaves(jax.device_get(t_ref.state.params))
+    p_res = jax.tree_util.tree_leaves(jax.device_get(t2.state.params))
+    for a, b in zip(p_ref, p_res):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
