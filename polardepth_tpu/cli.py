@@ -73,6 +73,12 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                    default=d.train_student)
     p.add_argument("--train_dpt", action="store_true", default=d.train_dpt)
     p.add_argument("--midas", action="store_true", default=False)
+    p.add_argument("--dpt_backbone", type=str, default=d.dpt_backbone,
+                   choices=("vitb_rn50", "vitb16", "vitl16"))
+    p.add_argument("--dpt_weights_path", type=str,
+                   default=d.dpt_weights_path,
+                   help="converted timm/MiDaS .npz "
+                        "(scripts/convert_torch_dpt.py)")
     p.add_argument("--num_depth_bins", type=int, default=d.num_depth_bins)
     p.add_argument("--depth_binning", type=str, default=d.depth_binning)
     p.add_argument("--freeze_teacher_epoch", type=int,
@@ -110,6 +116,8 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                    default=d.supervise_pose)
     p.add_argument("--res_pose", action="store_true", default=d.res_pose)
     p.add_argument("--use_pallas", action="store_true", default=d.use_pallas)
+    p.add_argument("--fast_decoder", action="store_true",
+                   default=d.fast_decoder)
     p.add_argument("--enable_12channels", action="store_true",
                    default=d.enable_12channels)
     p.add_argument("--mesh_shape", type=lambda s: tuple(
@@ -241,17 +249,24 @@ def _train_alternative_path(cfg: Config, a, writer) -> int:
         from polardepth_tpu.models.dpt import DPTDepthModel, MidasNet
         from polardepth_tpu.train.dpt_trainer import (
             make_dpt_train_step, make_dpt_infer_step)
-        model = MidasNet() if a.midas else DPTDepthModel(backbone="vitb16")
+        model = MidasNet() if a.midas else \
+            DPTDepthModel(backbone=cfg.dpt_backbone)
         data_fn, spe = _make_data(cfg, a, "train")
         eval_fn, _ = _make_data(cfg, a, "val" if not a.synthetic else "train")
         example = {"x": jnp.zeros((1, h, w, 3), jnp.float32)}
         state = create_train_state(
             model, {"params": rng, "dropout": rng}, example, schedule(spe))
         if cfg.weights_init == "pretrained":
-            try:  # MidasNet carries a ResNet18-style trunk; plain DPT (ViT)
-                state = maybe_apply_pretrained(state, cfg)  # has none.
-            except ValueError as exc:
-                print(f"weights_init=pretrained skipped for DPT: {exc}")
+            if not a.midas and cfg.dpt_weights_path:
+                from polardepth_tpu.models.dpt_weights import load_dpt_npz
+                state = state.replace(params=load_dpt_npz(
+                    state.params, cfg.dpt_weights_path,
+                    grid_hw=(h // 16, w // 16)))
+            else:
+                try:  # MidasNet carries a ResNet18-style trunk; plain DPT
+                    state = maybe_apply_pretrained(state, cfg)  # (ViT) none.
+                except ValueError as exc:
+                    print(f"weights_init=pretrained skipped for DPT: {exc}")
         alt = AltTrainer(cfg, state, jax.jit(make_dpt_train_step(model, cfg)),
                          jax.jit(make_dpt_infer_step(model, cfg)), rng)
         alt.fit(data_fn, eval_fn, cfg.num_epochs, ckpt_dir, writer, spe)

@@ -48,6 +48,13 @@ class Config:
     augment_normals: bool = True
     train_student: bool = False      # ManyDepth cost-volume student path
     train_dpt: bool = False          # DPT/MiDaS backbone path
+    # DPT variant (reference trainer.py:161-167 instantiates vitb_rn50_384):
+    # "vitb_rn50" | "vitb16" | "vitl16"
+    dpt_backbone: str = "vitb_rn50"
+    # Converted timm/MiDaS .npz (offline scripts/convert_torch_dpt.py);
+    # grafted into the DPT model via models/dpt_weights.load_dpt_npz when
+    # weights_init="pretrained" and train_dpt.
+    dpt_weights_path: str = ""
     pose_input: bool = False         # use GT poses instead of pose net
     supervise_pose: bool = False
     res_pose: bool = False           # residual-pose refinement pass
@@ -107,6 +114,12 @@ class Config:
     # (ops/fresnel.py FusedPiecewiseInterp) is stable and nearly as fast.
     # The kernel stays fully tested in interpreter mode.
     use_pallas: bool = False
+    # Decoder fast mode: fold padding into the decoder convs instead of
+    # materialising reflection-padded tensors (measured 19.5 -> 15.8 ms at
+    # 8x512x512 bf16; PERF.md item 4).  Deviates from the reference's
+    # reflection padding only in a border ring; checkpoints are
+    # layout-compatible across both settings.
+    fast_decoder: bool = False
     donate_state: bool = True
     seed: int = 42
 
@@ -151,6 +164,8 @@ class Config:
         if self.weights_init not in ("scratch", "pretrained"):
             raise ValueError(f"weights_init must be 'scratch' or 'pretrained'"
                              f" (got {self.weights_init!r})")
+        if self.dpt_backbone not in ("vitb_rn50", "vitb16", "vitl16"):
+            raise ValueError(f"unknown dpt_backbone {self.dpt_backbone!r}")
         if self.train_student:
             missing = [f for f in self.matching_ids
                        if f not in tuple(self.frame_ids)]

@@ -32,17 +32,24 @@ class DepthDecoder(nn.Module):
     num_output_channels: int = 1
     use_skips: bool = True
     uncertainty: bool = False
+    # "zero" folds padding into the convs (Config.fast_decoder): measured
+    # 19.5 -> 15.8 ms at 8x512x512 bf16; deviates from reflect padding only
+    # in a border ring (see ReflectConv).  Disp heads keep reflection
+    # padding either way (1-channel convs, negligible cost).
+    pad_mode: str = "reflect"
 
     @nn.compact
     def __call__(self, input_features):
         outputs = {}
         x = input_features[-1]
         for i in range(4, -1, -1):
-            x = ConvBlockELU(NUM_CH_DEC[i])(x)          # upconv_{i}_0
+            x = ConvBlockELU(NUM_CH_DEC[i],
+                             pad_mode=self.pad_mode)(x)  # upconv_{i}_0
             x = upsample2x(x)
             if self.use_skips and i > 0:
                 x = jnp.concatenate([x, input_features[i - 1]], axis=-1)
-            x = ConvBlockELU(NUM_CH_DEC[i])(x)          # upconv_{i}_1
+            x = ConvBlockELU(NUM_CH_DEC[i],
+                             pad_mode=self.pad_mode)(x)  # upconv_{i}_1
             if i in self.scales:
                 # Disp head runs in float32 regardless of the trunk dtype:
                 # bf16 disparity (~3 significant digits) would quantize depth

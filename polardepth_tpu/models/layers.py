@@ -58,6 +58,7 @@ class TorchConv(nn.Module):
     padding: int = 0
     use_bias: bool = True
     kernel_init: Callable = torch_conv_kernel_init
+    zero_bias: bool = False  # zero-init bias instead of torch's uniform
 
     @nn.compact
     def __call__(self, x):
@@ -68,26 +69,40 @@ class TorchConv(nn.Module):
             padding=[(self.padding, self.padding)] * 2,
             use_bias=self.use_bias,
             kernel_init=self.kernel_init,
-            bias_init=torch_conv_bias_init(fan_in),
+            bias_init=(nn.initializers.zeros if self.zero_bias
+                       else torch_conv_bias_init(fan_in)),
             dtype=x.dtype,
         )(x)
 
 
 class ReflectConv(nn.Module):
     """Reflection-pad + VALID conv (reference Conv3x3/Conv5x5,
-    layers.py:345-380)."""
+    layers.py:345-380).
+
+    pad_mode="zero" is the TPU fast path: the pad folds into the conv
+    itself instead of materialising a padded tensor (one fewer HBM round
+    trip per decoder stage — the decoder's full-resolution stages are
+    HBM-bound, PERF.md).  Kernel/bias shapes are identical, so checkpoints
+    are interchangeable between modes; outputs deviate only where the
+    receptive field touches the image border (the reference's
+    use_refl=False branch, layers.py:352-355)."""
 
     features: int
     kernel_size: int = 3
+    pad_mode: str = "reflect"
 
     @nn.compact
     def __call__(self, x):
         p = self.kernel_size // 2
-        x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+        if self.pad_mode == "reflect":
+            x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+            padding = "VALID"
+        else:
+            padding = [(p, p)] * 2
         fan_in = self.kernel_size * self.kernel_size * x.shape[-1]
         return nn.Conv(
             self.features, (self.kernel_size, self.kernel_size),
-            padding="VALID",
+            padding=padding,
             kernel_init=torch_conv_kernel_init,
             bias_init=torch_conv_bias_init(fan_in),
             dtype=x.dtype,
@@ -98,10 +113,12 @@ class ConvBlockELU(nn.Module):
     """ReflectConv3x3 + ELU — the decoder block (layers.py:329-342)."""
 
     features: int
+    pad_mode: str = "reflect"
 
     @nn.compact
     def __call__(self, x):
-        return nn.elu(ReflectConv(self.features, 3)(x))
+        return nn.elu(ReflectConv(self.features, 3,
+                                  pad_mode=self.pad_mode)(x))
 
 
 def _batch_norm(x, train: bool):

@@ -42,6 +42,7 @@ class PolarDepthNet(nn.Module):
     use_pallas: bool = False  # fused polar-preprocess kernel on TPU backends
     # (off by default — see Config.use_pallas for the axon Mosaic caveat)
     use_attention: bool = False  # arch1++: cross-modal attention at fusion
+    decoder_pad_mode: str = "reflect"  # "zero" = fast decoder (HBM saver)
 
     @nn.compact
     def __call__(self, color: jnp.ndarray,
@@ -97,5 +98,6 @@ class PolarDepthNet(nn.Module):
                 name="cross_modal_attention")(rgb_fused, pol_feats)
         joint = JointEncoder(self.dropout_rate, name="joint_encoder")(
             rgb_fused, xolp_feats, normals_feats, train)
-        return DepthDecoder(tuple(self.scales), name="mono_depth")(
-            rgb_feats + joint)
+        return DepthDecoder(tuple(self.scales),
+                            pad_mode=self.decoder_pad_mode,
+                            name="mono_depth")(rgb_feats + joint)

@@ -33,9 +33,14 @@ def supervised_normals_loss(depth_gt: jnp.ndarray, depth_pred: jnp.ndarray,
     n_gt = depth_to_normals(depth_gt, K[:, :3, :3])
     n_pred = depth_to_normals(depth_pred, K[:, :3, :3])
     dot = jnp.sum(n_gt * n_pred, axis=-1, keepdims=True)
-    na = jnp.linalg.norm(n_gt, axis=-1, keepdims=True)
-    nb = jnp.linalg.norm(n_pred, axis=-1, keepdims=True)
-    cos = dot / (jnp.maximum(na, eps) * jnp.maximum(nb, eps))
+    # norms computed as sqrt(max(sq, eps^2)): same forward as
+    # max(norm, eps) but NaN-free backward at degenerate zero normals
+    # (flat-depth regions; see ops/normals.py:depth_to_normals)
+    na = jnp.sqrt(jnp.maximum(
+        jnp.sum(n_gt * n_gt, axis=-1, keepdims=True), eps * eps))
+    nb = jnp.sqrt(jnp.maximum(
+        jnp.sum(n_pred * n_pred, axis=-1, keepdims=True), eps * eps))
+    cos = dot / (na * nb)
     mask = mask.astype(depth_pred.dtype)
     return jnp.sum((2.0 - cos) * mask) / jnp.sum(mask)
 

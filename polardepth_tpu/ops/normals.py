@@ -76,5 +76,10 @@ def depth_to_normals(depth: jnp.ndarray, K: jnp.ndarray,
     xyz = depth_to_3d(depth, K)
     gx, gy = spatial_gradient_sobel(xyz)
     n = jnp.cross(gx, gy)
-    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
-    return n / jnp.maximum(norm, eps)
+    # Same forward as kornia's F.normalize (norm clamped from below), but
+    # with the max INSIDE the sqrt: at degenerate points (flat depth ->
+    # zero cross product) sqrt'(0)*0 = NaN would poison the whole gradient;
+    # the saturated max gives a clean zero gradient there instead.
+    sq = jnp.sum(n * n, axis=-1, keepdims=True)
+    norm = jnp.sqrt(jnp.maximum(sq, eps * eps))
+    return n / norm

@@ -58,6 +58,7 @@ def build_model(cfg: Config) -> PolarDepthNet:
         compute_dtype=cfg.compute_dtype,
         use_pallas=cfg.use_pallas,
         use_attention=cfg.use_attention,
+        decoder_pad_mode="zero" if cfg.fast_decoder else "reflect",
     )
 
 

@@ -27,12 +27,18 @@ def test_dpt_vitb16_forward():
 
 
 def test_dpt_hybrid_forward():
-    m = DPTDepthModel(backbone="vitb16", hybrid=True)
+    """vitb_rn50: real ResNetV2-50 trunk (reference trainer.py:161-167
+    instantiates vitb_rn50_384 as the DPT default)."""
+    m = DPTDepthModel(backbone="vitb_rn50")
     x = _x(1)
     vars_ = m.init(jax.random.PRNGKey(0), x)
     out = m.apply(vars_, x)
     assert out.shape == (1, H, W, 1)
     assert np.isfinite(np.asarray(out)).all()
+    # the trunk is really there: BiT stages with weight-standardized convs
+    trunk = vars_["params"]["trunk"]
+    assert "stage2_block8" in trunk
+    assert trunk["stage0_block0"]["conv2"]["kernel"].shape == (3, 3, 64, 64)
 
 
 def test_midas_forward():
@@ -72,11 +78,11 @@ def test_dpt_train_step():
     rng = jax.random.PRNGKey(0)
     state = create_train_state(
         m, {"params": rng},
-        {"x": jnp.zeros((1, H, W, 3), jnp.float32)}, 1e-4)
+        {"x": jnp.zeros((1, H, W, 3), jnp.float32)}, 1e-3)
     step = jax.jit(make_dpt_train_step(m, cfg))
     batch = SyntheticHammer(H, W, seed=7).batch(1)
     losses = []
-    for _ in range(3):
+    for _ in range(8):
         state, logs = step(state, batch, rng)
         losses.append(float(logs["loss"]))
     assert np.isfinite(losses).all()

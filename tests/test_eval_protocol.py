@@ -1,0 +1,161 @@
+"""Quantify the aggregate effect of the eval-protocol deviations vs the
+reference (manydepth/evaluation.py:215-288 + hammer_dataset.py:154-169 +
+indoor_dataset.py:115,353) on a shared synthetic fixture.
+
+Reference protocol (as it actually executes, bugs included):
+  * gt: cv2.resize(img, (W,H), cv2.INTER_NEAREST) — the third positional
+    arg of cv2.resize is `dst`, NOT `interpolation`, so the gt is really
+    resized with the default INTER_LINEAR (bilinear, half-pixel): the
+    "nearest" in the source is dead.  (hammer_dataset.py:145,161)
+  * instance mask: PIL ANTIALIAS resize then *255 int
+    (indoor_dataset.py:77,115,353)
+  * per-frame numpy metrics, frames where the slice is empty raise inside
+    compute_depth_errors_numpy and the bare `except: pass` appends the
+    PREVIOUS frame's metrics again (evaluation.py:275-281)
+  * mean over all appended rows
+
+Repo protocol (train/loop.py:54-62 + eval/evaluation.py):
+  * gt bilinear-resized on device (matches the reference's de-facto
+    bilinear), mask nearest-resized (keeps material ids exact)
+  * empty-slice frames excluded from the mean (no duplication)
+
+This test runs both on the same fixture and asserts the aggregate metric
+deltas are small — the deviations are individually defensible; this bounds
+their combined effect.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from PIL import Image
+
+from polardepth_tpu.eval.evaluation import (
+    MATERIAL_THRESHOLDS, METRIC_ORDER, MetricAccumulator, eval_step_metrics,
+)
+from polardepth_tpu.ops.resize import resize_bilinear, resize_nearest
+
+NATIVE_H, NATIVE_W = 192, 256
+H, W = 96, 128   # "working" resolution the reference compares at
+MIN_D, MAX_D = 0.1, 2.0
+N_FRAMES = 6
+
+
+def _fixture(seed=0):
+    """Per-frame (gt_native, mask_native, pred_working) with large material
+    blobs (ids 20..200) and smooth depth fields."""
+    rng = np.random.default_rng(seed)
+    gts, masks, preds = [], [], []
+    yy, xx = np.mgrid[0:NATIVE_H, 0:NATIVE_W].astype(np.float32)
+    for f in range(N_FRAMES):
+        base = 0.6 + 0.8 * (yy / NATIVE_H) + 0.25 * np.sin(
+            2 * np.pi * (xx / NATIVE_W + 0.13 * f))
+        gt = base + 0.05 * rng.normal(size=base.shape).astype(np.float32)
+        gt = np.clip(gt, 0.0, 2.5).astype(np.float32)
+        # a hole (gt=0 -> invalid) like missing sensor returns
+        gt[20 + 5 * f:50 + 5 * f, 30:80] = 0.0
+        mask = np.zeros((NATIVE_H, NATIVE_W), np.uint8)
+        ids = [20, 40, 60, 80, 100, 120, 140, 160, 180, 200]
+        for j, mid in enumerate(ids):
+            r0 = (13 * j + 7 * f) % (NATIVE_H - 60)
+            c0 = (29 * j + 11 * f) % (NATIVE_W - 60)
+            mask[r0:r0 + 48, c0:c0 + 48] = mid
+        # frame 3 has no glass pixels at all -> exercises the empty-slice path
+        if f == 3:
+            mask[mask == 160] = 0
+        pred_n = gt + 0.08 * np.cos(3 * yy / NATIVE_H + f) + \
+            0.03 * rng.normal(size=gt.shape).astype(np.float32)
+        pred = np.asarray(resize_bilinear(
+            jnp.asarray(pred_n[None, :, :, None]), (H, W)))[0, :, :, 0]
+        pred = np.clip(pred, MIN_D, MAX_D).astype(np.float32)
+        gts.append(gt)
+        masks.append(mask)
+        preds.append(pred)
+    return gts, masks, preds
+
+
+def _errors_numpy(gt, pred):
+    """compute_depth_errors_numpy (reference layers.py:559-577)."""
+    thresh = np.maximum(gt / pred, pred / gt)
+    a1 = (thresh < 1.25).mean()
+    a2 = (thresh < 1.25 ** 2).mean()
+    a3 = (thresh < 1.25 ** 3).mean()
+    rmse = np.sqrt(((gt - pred) ** 2).mean())
+    rmse_log = np.sqrt(((np.log(gt) - np.log(pred)) ** 2).mean())
+    abs_rel = (np.abs(gt - pred) / gt).mean()
+    sq_rel = (((gt - pred) ** 2) / gt).mean()
+    return dict(abs_rel=abs_rel, sq_rel=sq_rel, rmse=rmse, rmse_log=rmse_log,
+                a1=a1, a2=a2, a3=a3)
+
+
+def _reference_protocol(gts, masks, preds, slice_name):
+    """evaluation.py:215-288 as executed, incl. the stale-duplicate
+    empty-slice bug and the ANTIALIAS mask resize."""
+    thr = MATERIAL_THRESHOLDS[slice_name]
+    errors = []
+    prev = None
+    for gt_n, mask_n, pred in zip(gts, masks, preds):
+        # gt: de-facto bilinear (the cv2 dst-arg bug) to working res
+        gt = np.asarray(resize_bilinear(
+            jnp.asarray(gt_n[None, :, :, None]), (H, W)))[0, :, :, 0]
+        # mask: PIL ANTIALIAS (Lanczos) then int, as resize_pol does
+        m_img = Image.fromarray(mask_n).resize((W, H), Image.LANCZOS)
+        mask_ids = np.asarray(m_img).astype(np.int32)
+        valid = np.logical_and(gt > MIN_D, gt < MAX_D)
+        if thr is not None:
+            material = np.logical_and(mask_ids >= thr[0], mask_ids <= thr[1])
+            valid = np.logical_and(valid, material)
+        g, p = gt[valid], np.clip(pred[valid], MIN_D, MAX_D)
+        try:
+            if g.size == 0:
+                raise ValueError("empty slice")
+            prev = _errors_numpy(g, p)
+        except Exception:
+            pass  # the reference appends the stale `depth_errors`
+        if prev is not None:
+            errors.append(prev)
+    return {k: float(np.mean([e[k] for e in errors])) for k in METRIC_ORDER}
+
+
+def _repo_protocol(gts, masks, preds):
+    acc = MetricAccumulator()
+    gt = jnp.asarray(np.stack(gts)[..., None])
+    mask = jnp.asarray(np.stack(masks).astype(np.int32)[..., None])
+    pred = jnp.asarray(np.stack(preds)[..., None])
+    gt = resize_bilinear(gt, (H, W))
+    mask = resize_nearest(mask, (H, W))
+    m = eval_step_metrics(gt, pred, mask, MIN_D, MAX_D)
+    acc.update(m)
+    return acc.result()
+
+
+@pytest.mark.parametrize("slice_name", ["all", "objects", "glass", "table"])
+def test_protocol_delta_is_small(slice_name):
+    gts, masks, preds = _fixture()
+    ref = _reference_protocol(gts, masks, preds, slice_name)
+    ours = _repo_protocol(gts, masks, preds)[slice_name]
+    # Individually-defensible deviations must not move the table materially:
+    # relative metrics within 0.02 absolute, accuracy-at-threshold within
+    # 0.03, rmse within 0.02 m on a [0.1, 2] m range.
+    assert abs(ref["abs_rel"] - ours["abs_rel"]) < 0.02, (ref, ours)
+    assert abs(ref["rmse"] - ours["rmse"]) < 0.02, (ref, ours)
+    assert abs(ref["a1"] - ours["a1"]) < 0.03, (ref, ours)
+    assert abs(ref["rmse_log"] - ours["rmse_log"]) < 0.02, (ref, ours)
+
+
+def test_empty_slice_exclusion_vs_duplication():
+    """Frame 3 has no glass: the reference duplicates frame 2's metrics, the
+    repo excludes the frame.  With N=6 frames the two means differ by at
+    most (1/N)·spread — verify both protocols stay within that envelope."""
+    gts, masks, preds = _fixture()
+    ref = _reference_protocol(gts, masks, preds, "glass")
+    ours = _repo_protocol(gts, masks, preds)["glass"]
+    assert ours["frames"] == N_FRAMES - 1
+    per_frame = []
+    for f in range(N_FRAMES):
+        if f == 3:
+            continue
+        r = _reference_protocol([gts[f]], [masks[f]], [preds[f]], "glass")
+        per_frame.append(r["abs_rel"])
+    spread = max(per_frame) - min(per_frame)
+    assert abs(ref["abs_rel"] - ours["abs_rel"]) <= spread / (N_FRAMES - 1) \
+        + 0.02

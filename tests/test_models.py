@@ -146,3 +146,50 @@ def test_depth_decoder_uncertainty_heads():
         assert ("uncertainty", s) in out and ("uncertainty_color", s) in out
         u = np.asarray(out[("uncertainty", s)])
         assert u.min() >= 0.0 and u.max() <= 1.0
+
+
+# -- fast decoder (zero-pad) mode --------------------------------------------
+
+def test_fast_decoder_interior_parity_and_border_deviation():
+    """pad_mode='zero' must agree with reflection padding everywhere except
+    the 1-px border ring of a single conv block, with identical params."""
+    import jax
+    import jax.numpy as jnp
+    from polardepth_tpu.models.layers import ConvBlockELU
+
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 12, 16, 8)).astype(np.float32))
+    refl = ConvBlockELU(4, pad_mode="reflect")
+    fast = ConvBlockELU(4, pad_mode="zero")
+    vars_ = refl.init(jax.random.PRNGKey(0), x)
+    a = np.asarray(refl.apply(vars_, x))
+    b = np.asarray(fast.apply(vars_, x))  # same params: shapes identical
+    np.testing.assert_allclose(a[:, 1:-1, 1:-1], b[:, 1:-1, 1:-1],
+                               rtol=1e-6, atol=1e-6)
+    assert np.abs(a - b).max() > 1e-4  # border really deviates
+
+
+def test_fast_decoder_checkpoint_compatible():
+    """fast_decoder changes no parameter shapes: a tree initialised in one
+    mode is byte-layout valid for the other (checkpoints interchangeable)."""
+    import jax
+    import jax.numpy as jnp
+    from polardepth_tpu.models.network import PolarDepthNet
+
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    pol = jnp.zeros((1, 32, 32, 4), jnp.float32)
+    kw = dict(dropout_rate=0.0)
+    v_refl = PolarDepthNet(**kw).init(
+        jax.random.PRNGKey(0), x, pol=pol)
+    v_fast = PolarDepthNet(decoder_pad_mode="zero", **kw).init(
+        jax.random.PRNGKey(0), x, pol=pol)
+    ta = jax.tree_util.tree_structure(v_refl)
+    tb = jax.tree_util.tree_structure(v_fast)
+    assert ta == tb
+    for a, b in zip(jax.tree_util.tree_leaves(v_refl),
+                    jax.tree_util.tree_leaves(v_fast)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+    # and the fast graph runs with the reflect-initialised params
+    out = PolarDepthNet(decoder_pad_mode="zero", **kw).apply(
+        v_refl, x, pol=pol)
+    assert ("disp", 0) in out
