@@ -10,3 +10,7 @@ device inside the jitted step.
 from polardepth_tpu.data.hammer import HammerIndex, HammerLoader
 from polardepth_tpu.data.synthetic import SyntheticHammer, write_synthetic_scene
 from polardepth_tpu.data.pipeline import BatchIterator, device_prefetch
+from polardepth_tpu.data.kitti import (
+    KittiRawIndex, KittiOdomIndex, KittiDepthIndex,
+    CityscapesPreprocessedIndex, CityscapesEvalIndex,
+)

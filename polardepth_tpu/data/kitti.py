@@ -133,8 +133,64 @@ class KittiRawIndex:
             calib = os.path.join(self.data_path, folder.split("/")[0])
             velo = self.velodyne_path(i)
             if os.path.isfile(velo):
-                out["depth_gt"] = velodyne_to_depth(
-                    calib, velo, self.SIDE_MAP[side])[..., None]
+                depth = velodyne_to_depth(calib, velo, self.SIDE_MAP[side])
+                # reference nearest-resizes the sparse map to the canonical
+                # 1242x375 (kitti_dataset.py:98-100, skimage order=0)
+                if depth.shape[:2] != KITTI_FULL_RES[::-1]:
+                    depth = _nearest_resize(depth, KITTI_FULL_RES)
+                out["depth_gt"] = depth[..., None]
+        return out
+
+
+def _nearest_resize(img: np.ndarray, out_wh: tuple[int, int]) -> np.ndarray:
+    """Host-side nearest resize (skimage order=0 / PIL NEAREST semantics:
+    sample at the center of each output pixel)."""
+    w, h = out_wh
+    ih, iw = img.shape[:2]
+    ys = np.minimum(((np.arange(h) + 0.5) * ih / h).astype(np.int64), ih - 1)
+    xs = np.minimum(((np.arange(w) + 0.5) * iw / w).astype(np.int64), iw - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+class KittiOdomIndex(KittiRawIndex):
+    """KITTI odometry layout (reference KITTIOdomDataset,
+    kitti_dataset.py:107-121): images at
+    sequences/<seq:02d>/image_<2|3>/<frame:06d>.png, no velodyne depth."""
+
+    def image_path(self, i: int, offset: int = 0) -> str:
+        folder, idx, side = self.entries[i]
+        return os.path.join(
+            self.data_path, f"sequences/{int(folder):02d}",
+            f"image_{self.SIDE_MAP[side]}",
+            f"{idx + offset:06d}{self.img_ext}")
+
+    def load(self, i: int, with_depth: bool = False) -> dict:
+        out = super().load(i, with_depth=False)
+        return out
+
+
+class KittiDepthIndex(KittiRawIndex):
+    """KITTI with the improved ground-truth depth maps (reference
+    KITTIDepthDataset, kitti_dataset.py:123-160): raw image layout, depth
+    from proj_depth/groundtruth/image_0<side>/<frame:010d>.png as
+    uint16/256, nearest-resized to the full 1242x375 resolution."""
+
+    def depth_path(self, i: int) -> str:
+        folder, idx, side = self.entries[i]
+        return os.path.join(
+            self.data_path, folder,
+            f"proj_depth/groundtruth/image_0{self.SIDE_MAP[side]}",
+            f"{idx:010d}.png")
+
+    def load(self, i: int, with_depth: bool = True) -> dict:
+        import cv2
+        out = super().load(i, with_depth=False)
+        if with_depth:
+            path = self.depth_path(i)
+            if os.path.isfile(path):
+                raw = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+                depth = _nearest_resize(raw, KITTI_FULL_RES)
+                out["depth_gt"] = (depth.astype(np.float32) / 256.0)[..., None]
         return out
 
 
@@ -168,3 +224,65 @@ class CityscapesPreprocessedIndex:
                                       f"{frame}.jpg"))[..., ::-1]
         return {"color": np.ascontiguousarray(img),
                 "K": self.load_intrinsics(city, frame)}
+
+
+class CityscapesEvalIndex:
+    """Raw-image Cityscapes evaluation loader (reference
+    cityscapes_evaldataset.py:15-102): split lines '<city> <frame_name>';
+    images from leftImg8bit/test (current) and leftImg8bit_sequence/test
+    (the -2 temporal neighbor), cropped to the top 3/4 of the frame (the
+    ego-hood crop); intrinsics from camera_trainvaltest camera jsons,
+    normalized by RAW_WIDTH x (RAW_HEIGHT * 3/4) to match the crop."""
+
+    RAW_HEIGHT = 1024
+    RAW_WIDTH = 2048
+
+    def __init__(self, data_path: str, split_lines: Sequence[str]):
+        self.data_path = data_path
+        self.entries = [tuple(ln.split()[:2]) for ln in split_lines]
+
+    def __len__(self):
+        return len(self.entries)
+
+    def image_path(self, city: str, frame_name: str,
+                   is_sequence: bool = False) -> str:
+        folder = "leftImg8bit_sequence" if is_sequence else "leftImg8bit"
+        return os.path.join(self.data_path, folder, "test", city,
+                            f"{frame_name}_leftImg8bit.png")
+
+    def load_intrinsics(self, city: str, frame_name: str) -> np.ndarray:
+        import json
+        path = os.path.join(self.data_path, "camera_trainvaltest", "camera",
+                            "test", city, f"{frame_name}_camera.json")
+        with open(path) as f:
+            cam = json.load(f)["intrinsic"]
+        K = np.array([[cam["fx"], 0, cam["u0"], 0],
+                      [0, cam["fy"], cam["v0"], 0],
+                      [0, 0, 1, 0],
+                      [0, 0, 0, 1]], dtype=np.float32)
+        K[0, :] /= self.RAW_WIDTH
+        K[1, :] /= self.RAW_HEIGHT * 0.75
+        return K
+
+    @staticmethod
+    def offset_framename(frame_name: str, offset: int = -2) -> str:
+        city, seq, num = frame_name.split("_")
+        return f"{city}_{seq}_{int(num) + offset:06d}"
+
+    def _load_cropped(self, path: str) -> np.ndarray:
+        import cv2
+        img = cv2.imread(path, cv2.IMREAD_COLOR)[..., ::-1]
+        crop_h = img.shape[0] * 3 // 4
+        return np.ascontiguousarray(img[:crop_h])
+
+    def load(self, i: int) -> dict:
+        """Current + (-2) previous frame, hood-cropped, with normalized K
+        (the eval harness feeds the pair to the multi-frame model)."""
+        city, frame_name = self.entries[i]
+        prev = self.offset_framename(frame_name, -2)
+        return {
+            "color": self._load_cropped(self.image_path(city, frame_name)),
+            "color_prev": self._load_cropped(
+                self.image_path(city, prev, is_sequence=True)),
+            "K": self.load_intrinsics(city, frame_name),
+        }

@@ -100,3 +100,94 @@ def test_forward_splat_conserves_mass_with_zero_flow():
     out2 = np.asarray(forward_warp_splat(jnp.asarray(img),
                                          jnp.asarray(flow2)))
     np.testing.assert_allclose(out2[0, :, 1:], img[0, :, :-1], atol=1e-5)
+
+
+# -- dataset variant loaders (reference kitti_dataset.py:107-160,
+#    cityscapes_evaldataset.py:15-102) ----------------------------------------
+
+def test_kitti_odom_paths_and_load(tmp_path):
+    import cv2
+    from polardepth_tpu.data.kitti import KittiOdomIndex
+    img_dir = tmp_path / "sequences" / "05" / "image_2"
+    img_dir.mkdir(parents=True)
+    img = np.random.default_rng(0).integers(
+        0, 255, (12, 16, 3), dtype=np.uint8)
+    cv2.imwrite(str(img_dir / "000007.png"), img)
+    idx = KittiOdomIndex(str(tmp_path), ["5 7 l"])
+    assert idx.image_path(0).endswith("sequences/05/image_2/000007.png")
+    out = idx.load(0)
+    assert out["color"].shape == (12, 16, 3)
+    assert "depth_gt" not in out
+    np.testing.assert_array_equal(out["K"], KITTI_NORMALIZED_K)
+
+
+def test_kitti_depth_gt_uint16_and_resize(tmp_path):
+    import cv2
+    from polardepth_tpu.data.kitti import KittiDepthIndex, KITTI_FULL_RES
+    drive = "2011_09_26/2011_09_26_drive_0002_sync"
+    img_dir = tmp_path / drive / "image_02" / "data"
+    gt_dir = tmp_path / drive / "proj_depth" / "groundtruth" / "image_02"
+    img_dir.mkdir(parents=True)
+    gt_dir.mkdir(parents=True)
+    cv2.imwrite(str(img_dir / "0000000010.png"),
+                np.zeros((10, 20, 3), np.uint8))
+    # uint16 depth png: value 512 -> 2.0 m after /256
+    gt = np.full((10, 20), 512, np.uint16)
+    gt[0, 0] = 1280  # 5.0 m
+    cv2.imwrite(str(gt_dir / "0000000010.png"), gt)
+    idx = KittiDepthIndex(str(tmp_path), [f"{drive} 10 l"])
+    out = idx.load(0)
+    d = out["depth_gt"]
+    assert d.shape == (KITTI_FULL_RES[1], KITTI_FULL_RES[0], 1)
+    assert set(np.unique(d)) <= {2.0, 5.0}
+    assert d[0, 0, 0] == 5.0  # nearest resize keeps the corner value
+
+
+def test_cityscapes_eval_crop_and_intrinsics(tmp_path):
+    import cv2
+    import json
+    from polardepth_tpu.data.kitti import CityscapesEvalIndex
+    city, frame = "aachen", "aachen_000000_000019"
+    prev = "aachen_000000_000017"
+    for folder, name in (("leftImg8bit", frame),
+                         ("leftImg8bit_sequence", prev)):
+        d = tmp_path / folder / "test" / city
+        d.mkdir(parents=True)
+        cv2.imwrite(str(d / f"{name}_leftImg8bit.png"),
+                    np.zeros((16, 32, 3), np.uint8))
+    cam_dir = tmp_path / "camera_trainvaltest" / "camera" / "test" / city
+    cam_dir.mkdir(parents=True)
+    with open(cam_dir / f"{frame}_camera.json", "w") as f:
+        json.dump({"intrinsic": {"fx": 2262.52, "fy": 2265.30,
+                                 "u0": 1096.98, "v0": 513.14}}, f)
+    idx = CityscapesEvalIndex(str(tmp_path), [f"{city} {frame}"])
+    assert idx.offset_framename(frame, -2) == prev
+    out = idx.load(0)
+    # hood crop: top 3/4 of the 16-row frame
+    assert out["color"].shape == (12, 32, 3)
+    assert out["color_prev"].shape == (12, 32, 3)
+    K = out["K"]
+    np.testing.assert_allclose(K[0, 0], 2262.52 / 2048, rtol=1e-6)
+    np.testing.assert_allclose(K[1, 2], 513.14 / (1024 * 0.75), rtol=1e-6)
+
+
+def test_kitti_raw_depth_resized_to_full_res(kitti_calib, tmp_path):
+    import cv2
+    from polardepth_tpu.data.kitti import KITTI_FULL_RES
+    calib_dir, velo, _ = kitti_calib
+    drive = "drive"
+    img_dir = tmp_path / drive / "image_02" / "data"
+    velo_dir = tmp_path / drive / "velodyne_points" / "data"
+    img_dir.mkdir(parents=True)
+    velo_dir.mkdir(parents=True)
+    cv2.imwrite(str(img_dir / "0000000000.png"),
+                np.zeros((30, 40, 3), np.uint8))
+    import shutil
+    shutil.copy(velo, velo_dir / "0000000000.bin")
+    # folder.split('/')[0] == 'drive'; calib files live under data_path/drive
+    for f in ("calib_cam_to_cam.txt", "calib_velo_to_cam.txt"):
+        shutil.copy(os.path.join(calib_dir, f), tmp_path / drive / f)
+    idx = KittiRawIndex(str(tmp_path), [f"{drive} 0 l"])
+    out = idx.load(0)
+    assert out["depth_gt"].shape == (KITTI_FULL_RES[1], KITTI_FULL_RES[0], 1)
+    assert (out["depth_gt"] > 0).sum() >= 1
