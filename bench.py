@@ -2,9 +2,14 @@
 
 North-star metric from BASELINE.json: end-to-end preprocessing-to-prediction
 (4 raw polarizer captures + RGB -> XOLP -> Fresnel priors -> tri-encoder ->
-depth) as a single jit graph, no host round-trips.  vs_baseline compares
-against the same pipeline executed on the host CPU (the reference's only
-non-CUDA execution mode, --no_cuda), measured in a subprocess.
+depth) as a single jit graph, no host round-trips.  Measured in the
+production TPU fast configuration (bfloat16 trunk + zero-pad decoder;
+physics, BN statistics and disparity heads stay float32 — accuracy deltas
+vs f32 are bounded by the ablation suite's bf16-vs-f32 check).
+
+vs_baseline compares against the same pipeline executed in float32 on the
+host CPU (the reference's only non-CUDA execution mode, --no_cuda) at the
+SAME batch/geometry, measured in a subprocess.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
@@ -32,7 +37,8 @@ def _make_inputs(batch, h, w):
     }
 
 
-def measure_fps(iters=ITERS, batch=BATCH, chain=16) -> float:
+def measure_fps(iters=ITERS, batch=BATCH, chain=16, dtype="bfloat16",
+                fast_decoder=True) -> float:
     """Amortized steady-state throughput.
 
     `chain` forward steps are executed inside ONE jit call via lax.scan (each
@@ -50,7 +56,8 @@ def measure_fps(iters=ITERS, batch=BATCH, chain=16) -> float:
     from polardepth_tpu.train.trainer import build_model, make_infer_step
     from polardepth_tpu.train.state import create_train_state
 
-    cfg = Config(height=H, width=W, batch_size=batch, dropout_rate=0.0)
+    cfg = Config(height=H, width=W, batch_size=batch, dropout_rate=0.0,
+                 compute_dtype=dtype, fast_decoder=fast_decoder)
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
     example = {"color": jnp.zeros((1, H, W, 3), jnp.float32),
@@ -129,8 +136,12 @@ def main():
     if cpu_fps is None:
         # Same pipeline on host CPU, in a subprocess so the TPU process
         # stays clean.
+        # f32, full headline batch: the reference pipeline executes f32 and
+        # CPU bf16 is emulation, so f32 is the honest host-side comparator.
         code = ("import json,sys; sys.argv=['bench']; "
-                "import bench; print(json.dumps(bench.measure_fps(iters=3, batch=2)))")
+                "import bench; print(json.dumps(bench.measure_fps("
+                "iters=4, batch=8, chain=2, dtype='float32', "
+                "fast_decoder=False)))")
         env = dict(os.environ, JAX_PLATFORMS="cpu")
         try:
             out = subprocess.run(

@@ -62,7 +62,7 @@ class _FeatureExtractor(nn.Module):
 
 
 def build_cost_volume(current_feats, lookup_feats, rel_poses, K, inv_K,
-                      depth_bins):
+                      depth_bins, bin_chunk: int = 16):
     """Vectorised plane-sweep matching.
 
     Args:
@@ -71,6 +71,12 @@ def build_cost_volume(current_feats, lookup_feats, rel_poses, K, inv_K,
       rel_poses: (B, F, 4, 4); an all-zero pose marks a missing frame.
       K, inv_K: (B, 4, 4) intrinsics *at 1/4 scale*.
       depth_bins: (D,).
+      bin_chunk: process the depth bins in chunks of this size via lax.map.
+        The dominant temporary — warped lookup features, (B, F, D, h, w, C)
+        — is ~2.8 GB at the published batch 12, which OOMs one chip inside
+        the full student step; per-bin costs are independent, so chunking
+        bounds residency at (B, F, chunk, h, w, C) with identical numerics.
+        0 (or a non-divisor of D) disables chunking.
 
     Returns (cost_volume (B, D, h, w), missing_mask (B, D, h, w)).
     """
@@ -83,37 +89,48 @@ def build_cost_volume(current_feats, lookup_feats, rel_poses, K, inv_K,
     pix = jnp.stack([xs.reshape(-1), ys.reshape(-1),
                      jnp.ones(h * w, dt)])                    # (3, hw)
     cam = jnp.einsum("bij,jn->bin", inv_K[:, :3, :3], pix)     # (B, 3, hw)
-    pts = cam[:, None] * depth_bins[None, :, None, None]       # (B, D, 3, hw)
-    pts = jnp.concatenate(
-        [pts, jnp.ones((b, d, 1, h * w), dt)], axis=2)         # (B, D, 4, hw)
-
     P = jnp.einsum("bij,bfjk->bfik", K, rel_poses)[:, :, :3]   # (B, F, 3, 4)
-    proj = jnp.einsum("bfij,bdjn->bfdin", P, pts)              # (B, F, D, 3, hw)
-    pix_xy = proj[:, :, :, :2] / (proj[:, :, :, 2:3] + 1e-7)
-    x_vals = pix_xy[:, :, :, 0].reshape(b, f, d, h, w)
-    y_vals = pix_xy[:, :, :, 1].reshape(b, f, d, h, w)
-    gx = (x_vals / (w - 1) - 0.5) * 2.0
-    gy = (y_vals / (h - 1) - 0.5) * 2.0
-    grid = jnp.stack([gx, gy], axis=-1)                        # (B, F, D, h, w, 2)
-
-    warped = grid_sample(
-        lookup_feats.reshape(b * f, h, w, c),
-        grid.reshape(b * f, d * h, w, 2),
-        padding_mode="zeros", align_corners=True,
-    ).reshape(b, f, d, h, w, c)
-
-    # edge masking: lookup-image border and current-image border, 2 px each
-    edge = ((x_vals >= 2.0) & (x_vals <= w - 2) &
-            (y_vals >= 2.0) & (y_vals <= h - 2)).astype(dt)
-    interior = jnp.zeros((h, w), dt).at[2:-2, 2:-2].set(1.0)
-    edge = edge * interior[None, None, None]
-
     frame_valid = (jnp.sum(jnp.abs(rel_poses), axis=(2, 3)) > 0).astype(dt)
-    diffs = jnp.mean(jnp.abs(warped - current_feats[:, None, None]), axis=-1)
-    diffs = diffs * edge * frame_valid[:, :, None, None, None]
+    interior = jnp.zeros((h, w), dt).at[2:-2, 2:-2].set(1.0)
 
-    cost = jnp.sum(diffs, axis=1)
-    counts = jnp.sum((diffs > 0).astype(dt), axis=1)
+    def chunk_cost(bins_c):
+        """(Dc,) bins -> (cost (B, Dc, h, w), counts (B, Dc, h, w))."""
+        dc = bins_c.shape[0]
+        pts = cam[:, None] * bins_c[None, :, None, None]       # (B, Dc, 3, hw)
+        pts = jnp.concatenate(
+            [pts, jnp.ones((b, dc, 1, h * w), dt)], axis=2)    # (B, Dc, 4, hw)
+        proj = jnp.einsum("bfij,bdjn->bfdin", P, pts)          # (B, F, Dc, 3, hw)
+        pix_xy = proj[:, :, :, :2] / (proj[:, :, :, 2:3] + 1e-7)
+        x_vals = pix_xy[:, :, :, 0].reshape(b, f, dc, h, w)
+        y_vals = pix_xy[:, :, :, 1].reshape(b, f, dc, h, w)
+        gx = (x_vals / (w - 1) - 0.5) * 2.0
+        gy = (y_vals / (h - 1) - 0.5) * 2.0
+        grid = jnp.stack([gx, gy], axis=-1)                    # (B, F, Dc, h, w, 2)
+
+        warped = grid_sample(
+            lookup_feats.reshape(b * f, h, w, c),
+            grid.reshape(b * f, dc * h, w, 2),
+            padding_mode="zeros", align_corners=True,
+        ).reshape(b, f, dc, h, w, c)
+
+        # edge masking: lookup-image border and current-image border, 2 px
+        edge = ((x_vals >= 2.0) & (x_vals <= w - 2) &
+                (y_vals >= 2.0) & (y_vals <= h - 2)).astype(dt)
+        edge = edge * interior[None, None, None]
+
+        diffs = jnp.mean(jnp.abs(warped - current_feats[:, None, None]),
+                         axis=-1)
+        diffs = diffs * edge * frame_valid[:, :, None, None, None]
+        return jnp.sum(diffs, axis=1), jnp.sum((diffs > 0).astype(dt), axis=1)
+
+    if bin_chunk and 0 < bin_chunk < d and d % bin_chunk == 0:
+        cost, counts = jax.lax.map(
+            chunk_cost, depth_bins.reshape(d // bin_chunk, bin_chunk))
+        # (n, B, Dc, h, w) -> (B, n*Dc, h, w); bins stay in order
+        cost = jnp.moveaxis(cost, 0, 1).reshape(b, d, h, w)
+        counts = jnp.moveaxis(counts, 0, 1).reshape(b, d, h, w)
+    else:
+        cost, counts = chunk_cost(depth_bins)
     cost = cost / (counts + 1e-7)
 
     missing = (cost == 0).astype(dt)
@@ -127,6 +144,7 @@ class CostVolumeEncoder(nn.Module):
     num_depth_bins: int = 96
     depth_binning: str = "linear"
     compute_dtype: str = "float32"
+    bin_chunk: int = 16  # memory bound on the warp temp; see build_cost_volume
 
     @nn.compact
     def __call__(self, current_image, lookup_images, rel_poses, K, inv_K,
@@ -155,7 +173,7 @@ class CostVolumeEncoder(nn.Module):
         cost, missing = build_cost_volume(
             jax.lax.stop_gradient(f1.astype(jnp.float32)),
             lookup_feats.astype(jnp.float32), rel_poses, K, inv_K,
-            bins.astype(jnp.float32))
+            bins.astype(jnp.float32), bin_chunk=self.bin_chunk)
         cost = jax.lax.stop_gradient(cost)
         missing = jax.lax.stop_gradient(missing)
 

@@ -57,6 +57,11 @@ class StudentModel(nn.Module):
     num_depth_bins: int = 96
     depth_binning: str = "linear"
     compute_dtype: str = "float32"
+    # Rematerialize the teacher and the student encoder/decoder in the
+    # backward pass: the combined teacher+student step at the published
+    # batch 12 otherwise holds ~17 GB of 1/2-res encoder residuals (> one
+    # chip's 15.75 GB HBM).  Costs ~1 extra forward of recompute.
+    remat: bool = True
 
     @nn.compact
     def __call__(self, color_frames, pol, lookup_frames, rel_poses,
@@ -67,22 +72,24 @@ class StudentModel(nn.Module):
           teacher_out = (mono disps, poses)
           student_out = (student disps, lowest_cost, confidence_mask)
         """
-        teacher = SelfSupModel(
+        # flax remat counts `self` as arg 0: train/matching_ids are 3/4
+        teacher_cls = (nn.remat(SelfSupModel, static_argnums=(3, 4))
+                       if self.remat else SelfSupModel)
+        teacher = teacher_cls(
             self.frame_ids, self.augment_xolp, self.augment_normals,
             self.dropout_rate, tuple(self.scales),
             compute_dtype=self.compute_dtype, name="teacher")
+        t_train = train and not freeze_teacher
         if rel_poses is None:
             # pose_input=False (reference default): the lookup-frame poses
             # come from the teacher's own pose net, chained under no-grad
             # (trainer.py:708-746)
             disps, poses, matching = teacher(
-                color_frames, pol=pol, train=train and not freeze_teacher,
-                matching_ids=tuple(self.matching_ids))
+                color_frames, pol, t_train, tuple(self.matching_ids))
             rel_poses = jnp.stack(
                 [matching[f] for f in self.matching_ids if f != 0], axis=1)
         else:
-            disps, poses = teacher(color_frames, pol=pol, train=train and
-                                   not freeze_teacher)
+            disps, poses = teacher(color_frames, pol, t_train, None)
         if freeze_teacher:
             disps = jax.tree_util.tree_map(jax.lax.stop_gradient, disps)
             poses = jax.tree_util.tree_map(jax.lax.stop_gradient, poses)
@@ -91,13 +98,16 @@ class StudentModel(nn.Module):
             # poses (the reference zeroes the pose rows, trainer.py:602-603)
             rel_poses = rel_poses * pose_zero_mask[:, None, None, None]
 
-        encoder = CostVolumeEncoder(
+        encoder_cls = (nn.remat(CostVolumeEncoder, static_argnums=(8,))
+                       if self.remat else CostVolumeEncoder)
+        encoder = encoder_cls(
             self.num_depth_bins, self.depth_binning, self.compute_dtype,
             name="encoder")
         feats, lowest_cost, confidence = encoder(
             color_frames[:, 0], lookup_frames, rel_poses, K_quarter,
             inv_K_quarter, min_depth_bin, max_depth_bin, train)
-        student_disps = DepthDecoder(tuple(self.scales), name="depth")(feats)
+        decoder_cls = nn.remat(DepthDecoder) if self.remat else DepthDecoder
+        student_disps = decoder_cls(tuple(self.scales), name="depth")(feats)
         return (disps, poses), (student_disps, lowest_cost, confidence)
 
 

@@ -112,3 +112,34 @@ def test_cost_volume_encoder_forward_shapes():
     assert lowest.shape == (2, h, w)
     assert conf.shape == (2, h, w)
     assert set(np.unique(np.asarray(conf))) <= {0.0, 1.0}
+
+
+def test_bin_chunking_is_exact():
+    """Chunked plane-sweep (the memory-bounded path) must equal the
+    single-shot volume bit-for-bit up to float assoc — per-bin costs are
+    independent, so chunking only changes temporaries."""
+    import jax.numpy as jnp
+    from polardepth_tpu.models.cost_volume import (
+        build_cost_volume, compute_depth_bins)
+    rng = np.random.default_rng(3)
+    b, f, h, w, c = 2, 2, 12, 16, 8
+    cur = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    look = jnp.asarray(rng.normal(size=(b, f, h, w, c)).astype(np.float32))
+    poses = np.tile(np.eye(4, dtype=np.float32), (b, f, 1, 1))
+    poses[:, :, 0, 3] = 0.05
+    poses[1, 1] = 0.0  # a missing frame
+    K = np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))
+    K[:, 0, 0] = K[:, 1, 1] = 8.0
+    K[:, 0, 2], K[:, 1, 2] = w / 2, h / 2
+    inv_K = np.linalg.inv(K)
+    bins = compute_depth_bins(jnp.float32(0.5), jnp.float32(2.0), 32)
+    c0, m0 = build_cost_volume(cur, look, jnp.asarray(poses),
+                               jnp.asarray(K), jnp.asarray(inv_K), bins,
+                               bin_chunk=0)
+    for chunk in (8, 16):
+        c1, m1 = build_cost_volume(cur, look, jnp.asarray(poses),
+                                   jnp.asarray(K), jnp.asarray(inv_K), bins,
+                                   bin_chunk=chunk)
+        np.testing.assert_allclose(np.asarray(c0), np.asarray(c1),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
