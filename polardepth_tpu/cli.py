@@ -257,16 +257,31 @@ def _train_alternative_path(cfg: Config, a, writer) -> int:
         state = create_train_state(
             model, {"params": rng, "dropout": rng}, example, schedule(spe))
         if cfg.weights_init == "pretrained":
-            if not a.midas and cfg.dpt_weights_path:
+            if cfg.dpt_weights_path and a.midas:
+                import numpy as _np
+                from polardepth_tpu.models.resnext import (
+                    load_midas_npz, load_torch_resnext101)
+                raw = dict(_np.load(cfg.dpt_weights_path))
+                if any(k.startswith("pretrained.") for k in raw):
+                    # full MiDaS v2.1 checkpoint: trunk + scratch + head
+                    p, s = load_midas_npz(dict(state.params),
+                                          dict(state.batch_stats), raw)
+                    state = state.replace(params=p, batch_stats=s)
+                else:           # torchvision/WSL trunk-only dump
+                    tp, ts = load_torch_resnext101(raw)
+                    p = dict(state.params)
+                    s = dict(state.batch_stats)
+                    p["trunk"], s["trunk"] = tp, ts
+                    state = state.replace(params=p, batch_stats=s)
+            elif cfg.dpt_weights_path:
                 from polardepth_tpu.models.dpt_weights import load_dpt_npz
                 state = state.replace(params=load_dpt_npz(
                     state.params, cfg.dpt_weights_path,
                     grid_hw=(h // 16, w // 16)))
             else:
-                try:  # MidasNet carries a ResNet18-style trunk; plain DPT
-                    state = maybe_apply_pretrained(state, cfg)  # (ViT) none.
-                except ValueError as exc:
-                    print(f"weights_init=pretrained skipped for DPT: {exc}")
+                print("weights_init=pretrained for the DPT/MiDaS family "
+                      "needs --dpt_weights_path (scripts/convert_torch_dpt"
+                      ".py); continuing from scratch")
         alt = AltTrainer(cfg, state, jax.jit(make_dpt_train_step(model, cfg)),
                          jax.jit(make_dpt_infer_step(model, cfg)), rng)
         alt.fit(data_fn, eval_fn, cfg.num_epochs, ckpt_dir, writer, spe)

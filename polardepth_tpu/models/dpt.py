@@ -309,26 +309,56 @@ class DPTDepthModel(nn.Module):
         return h.astype(jnp.float32)
 
 
+class _PlainFusionBlock(nn.Module):
+    """MiDaS v2 FeatureFusionBlock (blocks.py:213-244): plain RCUs, no
+    output conv, bilinear x2 with align_corners=True."""
+
+    features: int = FEATURE_CH
+
+    @nn.compact
+    def __call__(self, deeper, skip=None):
+        x = deeper
+        if skip is not None:
+            if x.shape[1:3] != skip.shape[1:3]:
+                x = resize_bilinear(x, skip.shape[1:3])
+            x = x + _ResidualConvUnit(self.features,
+                                      name="resConfUnit1")(skip)
+        x = _ResidualConvUnit(self.features, name="resConfUnit2")(x)
+        h, w = x.shape[1:3]
+        return resize_bilinear(x, (2 * h, 2 * w), align_corners=True)
+
+
 class MidasNet(nn.Module):
-    """MiDaS v2-style CNN alternative (reference dpt/midas_net.py uses a
-    ResNeXt101-WSL trunk from torch.hub; here the framework's ResNet18
-    encoder stands in — documented substitution, same refinenet decoder)."""
+    """MiDaS v2 "large" (reference dpt/midas_net.py:12-77): ResNeXt101-32x8d
+    trunk (the torch.hub WSL model, implemented natively in
+    models/resnext.py) + plain refinenet decoder + conv head.
+
+    backbone="resnet18" substitutes the framework's light encoder — kept
+    for cheap smoke tests; the reference-parity trunk is the default.
+    Pretrained torch weights graft via models.resnext.load_torch_resnext101
+    (trunk) / load_midas_npz (full MiDaS v2.1 checkpoint)."""
 
     non_negative: bool = True
     compute_dtype: str = "float32"
+    backbone: str = "resnext101_wsl"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        from polardepth_tpu.models.resnet import ResNet18Encoder
         b, H, W, _ = x.shape
-        feats = ResNet18Encoder(1, self.compute_dtype)(x, train)
+        if self.backbone == "resnext101_wsl":
+            from polardepth_tpu.models.resnext import ResNeXt101Trunk
+            feats = ResNeXt101Trunk(self.compute_dtype,
+                                    name="trunk")(x, train)   # 1/4 .. 1/32
+        else:
+            from polardepth_tpu.models.resnet import ResNet18Encoder
+            feats = ResNet18Encoder(1, self.compute_dtype)(x, train)[1:]
         rn = [TorchConv(FEATURE_CH, 3, padding=1, use_bias=False,
                         name=f"layer{i + 1}_rn")(f)
-              for i, f in enumerate(feats[1:])]  # 1/4 .. 1/32
-        path = _FusionBlock(name="refinenet4")(rn[3])
-        path = _FusionBlock(name="refinenet3")(path, rn[2])
-        path = _FusionBlock(name="refinenet2")(path, rn[1])
-        path = _FusionBlock(name="refinenet1")(path, rn[0])
+              for i, f in enumerate(feats)]
+        path = _PlainFusionBlock(name="refinenet4")(rn[3])
+        path = _PlainFusionBlock(name="refinenet3")(path, rn[2])
+        path = _PlainFusionBlock(name="refinenet2")(path, rn[1])
+        path = _PlainFusionBlock(name="refinenet1")(path, rn[0])  # 1/2 res
         h = TorchConv(128, 3, padding=1, name="head1")(path)
         h = resize_bilinear(h, (H, W))
         h = TorchConv(32, 3, padding=1, name="head2")(h)

@@ -13,6 +13,11 @@ Two modes:
   # full MiDaS/DPT checkpoint (scratch + head included,
   # manydepth/dpt/base_model.py:4-16):
   python scripts/convert_torch_dpt.py --pt dpt_hybrid-midas-501f0c75.pt out.npz
+  python scripts/convert_torch_dpt.py --pt midas_v21-f6b98070.pt out.npz
+
+  # torch.hub model (the MidasNet_large trunk, dpt/blocks.py:133-135):
+  python scripts/convert_torch_dpt.py \
+      --hub facebookresearch/WSL-Images:resnext101_32x8d_wsl out.npz
 
 The resulting .npz loads via polardepth_tpu.models.dpt_weights.load_dpt_npz
 (layout transposes + position-embedding grid resize happen there, on the
@@ -28,6 +33,7 @@ def main() -> int:
     g = p.add_mutually_exclusive_group(required=True)
     g.add_argument("--timm", help="timm model name to download")
     g.add_argument("--pt", help="torch checkpoint file (.pt/.pth)")
+    g.add_argument("--hub", help="torch.hub '<repo>:<model>' to download")
     p.add_argument("out", help="output .npz path")
     a = p.parse_args()
 
@@ -41,6 +47,10 @@ def main() -> int:
             return 1
         model = timm.create_model(a.timm, pretrained=True)
         state = model.state_dict()
+    elif a.hub:
+        import torch
+        repo, name = a.hub.split(":")
+        state = torch.hub.load(repo, name).state_dict()
     else:
         import torch
         state = torch.load(a.pt, map_location="cpu")

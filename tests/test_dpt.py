@@ -42,7 +42,9 @@ def test_dpt_hybrid_forward():
 
 
 def test_midas_forward():
-    m = MidasNet()
+    # resnet18 stand-in keeps this smoke fast; the reference-parity
+    # resnext101_wsl trunk (the default) is covered by tests/test_resnext.py
+    m = MidasNet(backbone="resnet18")
     x = _x(2)
     vars_ = m.init(jax.random.PRNGKey(0), x)
     out = m.apply(vars_, x)
