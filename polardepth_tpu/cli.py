@@ -120,6 +120,7 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                    default=d.fast_decoder)
     p.add_argument("--enable_12channels", action="store_true",
                    default=d.enable_12channels)
+    p.add_argument("--host_cache_gb", type=float, default=d.host_cache_gb)
     p.add_argument("--mesh_shape", type=lambda s: tuple(
         int(x) for x in s.split(",")), default=d.mesh_shape,
         help="device mesh shape, e.g. '-1' (all devices on data axis), '1'")
@@ -144,7 +145,8 @@ def _make_data(cfg: Config, a, part: str):
             return gen.sample(int(i))
 
         it = BatchIterator(load, n, cfg.batch_size,
-                           shuffle=(part == "train"), seed=cfg.seed)
+                           shuffle=(part == "train"), seed=cfg.seed,
+                       cache_bytes=int(cfg.host_cache_gb * 2**30))
         return (lambda: iter(it)), max(len(it), 1)
 
     from polardepth_tpu.data.hammer import HammerIndex, HammerLoader, read_split
@@ -170,7 +172,8 @@ def _make_data(cfg: Config, a, part: str):
         return s
 
     it = BatchIterator(load, len(index), cfg.batch_size,
-                       shuffle=(part == "train"), seed=cfg.seed)
+                       shuffle=(part == "train"), seed=cfg.seed,
+                       cache_bytes=int(cfg.host_cache_gb * 2**30))
     return (lambda: iter(it)), max(len(it), 1)
 
 
@@ -219,7 +222,8 @@ def _make_multiframe_data(cfg: Config, a, part: str):
         return s0
 
     it = BatchIterator(load, len(index), cfg.batch_size,
-                       shuffle=(part == "train"), seed=cfg.seed)
+                       shuffle=(part == "train"), seed=cfg.seed,
+                       cache_bytes=int(cfg.host_cache_gb * 2**30))
     return (lambda: iter(it)), max(len(it), 1)
 
 

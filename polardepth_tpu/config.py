@@ -121,6 +121,11 @@ class Config:
     # layout-compatible across both settings.
     fast_decoder: bool = False
     donate_state: bool = True
+    # Decoded-sample host RAM cache (GB; 0 disables).  Samples are raw
+    # uint8/uint16 and all augmentation is device-side, so per-index loads
+    # are deterministic and caching is exact; epochs 2+ skip PNG decode —
+    # the training bottleneck on low-core hosts (PERF.md round 2).
+    host_cache_gb: float = 8.0
     seed: int = 42
 
     @property

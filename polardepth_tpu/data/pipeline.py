@@ -37,7 +37,8 @@ class BatchIterator:
 
     def __init__(self, load_fn: Callable[[int], dict], num_samples: int,
                  batch_size: int, shuffle: bool = False, seed: int = 0,
-                 num_workers: int = 8, array_keys: Optional[Sequence[str]] = None):
+                 num_workers: int = 8, array_keys: Optional[Sequence[str]] = None,
+                 cache_bytes: int = 0):
         self.load_fn = load_fn
         self.num_samples = num_samples
         self.batch_size = batch_size
@@ -48,6 +49,14 @@ class BatchIterator:
         self.epoch = 0
         self.cursor = 0
         self._resume_pending = False
+        # Decoded-sample RAM cache: samples ship raw uint8/uint16 (all float
+        # work is on device), so whole corpora fit host RAM and epochs 2+
+        # skip PNG decode entirely — the host decode path is the training
+        # bottleneck on low-core hosts (PERF.md round 2).  0 disables.
+        self._cache_bytes = cache_bytes
+        self._cache: dict[int, dict] = {}
+        self._cache_used = 0
+        self._cache_lock = threading.Lock()
 
     def __len__(self) -> int:
         return self.num_samples // self.batch_size
@@ -92,11 +101,28 @@ class BatchIterator:
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             for b in range(start, n_batches):
                 idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                samples = list(pool.map(self.load_fn, idxs))
+                samples = list(pool.map(self._load_cached, idxs))
                 self.cursor = b + 1
                 yield self._stack(samples)
         self.epoch += 1
         self.cursor = 0
+
+    def _load_cached(self, i) -> dict:
+        i = int(i)
+        if self._cache_bytes:
+            hit = self._cache.get(i)
+            if hit is not None:
+                return hit
+        sample = self.load_fn(i)
+        if self._cache_bytes:
+            size = sum(v.nbytes for v in sample.values()
+                       if isinstance(v, np.ndarray))
+            with self._cache_lock:
+                if i not in self._cache and \
+                        self._cache_used + size <= self._cache_bytes:
+                    self._cache[i] = sample
+                    self._cache_used += size
+        return sample
 
 
 def device_prefetch(it: Iterator[dict], sharding=None,

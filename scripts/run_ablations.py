@@ -69,7 +69,8 @@ def make_data(cfg, scenes, part):
         return s
 
     it = BatchIterator(load, len(index), cfg.batch_size,
-                       shuffle=(part == "train"), seed=cfg.seed)
+                       shuffle=(part == "train"), seed=cfg.seed,
+                       cache_bytes=int(cfg.host_cache_gb * 2**30))
     return (lambda: iter(it)), max(len(it), 1)
 
 

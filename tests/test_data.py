@@ -135,3 +135,36 @@ def test_random_horizontal_flip():
     # non-image entries untouched
     np.testing.assert_array_equal(np.asarray(out["K"]),
                                   np.asarray(batch["K"]))
+
+
+def test_batch_iterator_cache_exact_and_bounded():
+    """The decoded-sample cache must return identical batches (loads are
+    deterministic; augmentation is device-side) and respect its byte cap."""
+    import numpy as np
+    from polardepth_tpu.data.pipeline import BatchIterator
+
+    calls = {"n": 0}
+
+    def load(i):
+        calls["n"] += 1
+        rng = np.random.default_rng(int(i))
+        return {"x": rng.integers(0, 255, (4, 6, 3), dtype=np.uint8)}
+
+    it = BatchIterator(load, 8, 2, shuffle=True, seed=3,
+                       cache_bytes=1 << 20)
+    e0 = [b["x"].copy() for b in it]
+    n0 = calls["n"]
+    e1 = [b["x"].copy() for b in it]
+    assert calls["n"] == n0  # epoch 2 fully served from cache
+    # same samples, (different shuffle order per epoch is fine): compare sets
+    flat0 = sorted(a.tobytes() for b in e0 for a in b)
+    flat1 = sorted(a.tobytes() for b in e1 for a in b)
+    assert flat0 == flat1
+
+    # byte cap respected: cache smaller than one sample caches nothing
+    it2 = BatchIterator(load, 4, 2, cache_bytes=10)
+    list(it2)
+    assert it2._cache_used == 0 and not it2._cache
+    base = calls["n"]
+    list(it2)
+    assert calls["n"] == base + 4  # re-decoded (no cache)
