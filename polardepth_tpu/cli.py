@@ -132,9 +132,67 @@ def _config_from_args(a) -> Config:
     return Config(**kw)
 
 
+def _make_kitti_data(cfg: Config, a, part: str):
+    """KITTI / Cityscapes supervised batches (RGB-only: these datasets
+    carry no polarization captures, so --augment_xolp/--augment_normals
+    must be off).  Mirrors the reference's dataset protocol: images are
+    host-resized to the working resolution with area antialiasing (the
+    reference's PIL-ANTIALIAS worker resize, mono_dataset.py:40-58), the
+    normalized K is scaled by (W, H) (kitti_dataset.py:28-33), and the
+    sparse depth is nearest-resized with zeros staying invalid.  Split
+    files live in <cfg.split>/ as {train,val,test}_files.txt (the
+    reference ships no KITTI splits either; point --split at e.g. an
+    eigen_zhou folder)."""
+    import cv2
+    from polardepth_tpu.data.pipeline import BatchIterator
+    from polardepth_tpu.data.kitti import (
+        KittiRawIndex, KittiOdomIndex, KittiDepthIndex,
+        CityscapesPreprocessedIndex, _nearest_resize)
+
+    if cfg.augment_xolp or cfg.augment_normals:
+        raise ValueError(
+            f"dataset {cfg.dataset!r} has no polarization captures; run "
+            "with --no_augment_xolp --no_augment_normals")
+    cls = {"kitti": KittiRawIndex, "kitti_odom": KittiOdomIndex,
+           "kitti_depth": KittiDepthIndex,
+           "cityscapes_preprocessed": CityscapesPreprocessedIndex}[
+        cfg.dataset]
+    split_dir = cfg.split if os.path.isdir(cfg.split) else \
+        os.path.join(cfg.data_path, cfg.split)
+    split_file = os.path.join(split_dir, f"{part}_files.txt")
+    with open(split_file) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    index = cls(cfg.data_path, lines)
+    h, w = cfg.height, cfg.width
+
+    def load(i):
+        s = index.load(int(i))
+        out = {"color": cv2.resize(s["color"], (w, h),
+                                   interpolation=cv2.INTER_AREA)}
+        K = s["K"].copy()
+        if cfg.dataset.startswith("kitti"):
+            K[0, :] *= w
+            K[1, :] *= h
+        out["K"] = K
+        out["inv_K"] = np.linalg.pinv(K).astype(np.float32)
+        if "depth_gt" in s:
+            d = _nearest_resize(s["depth_gt"][..., 0], (w, h))
+            out["depth"] = d[..., None].astype(np.float32)
+            out["depth_gt"] = out["depth"]
+        out["mask"] = np.zeros((h, w, 1), np.int32)  # no instance ids
+        return out
+
+    it = BatchIterator(load, len(index), cfg.batch_size,
+                       shuffle=(part == "train"), seed=cfg.seed,
+                       cache_bytes=int(cfg.host_cache_gb * 2**30))
+    return (lambda: iter(it)), max(len(it), 1)
+
+
 def _make_data(cfg: Config, a, part: str):
     """Returns (make_batches_fn, steps_per_epoch)."""
     from polardepth_tpu.data.pipeline import BatchIterator
+    if not a.synthetic and cfg.dataset != "HAMMER":
+        return _make_kitti_data(cfg, a, part)
     if a.synthetic:
         from polardepth_tpu.data.synthetic import SyntheticHammer
         gen = SyntheticHammer(cfg.height, cfg.width, seed=cfg.seed

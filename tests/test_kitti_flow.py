@@ -191,3 +191,77 @@ def test_kitti_raw_depth_resized_to_full_res(kitti_calib, tmp_path):
     out = idx.load(0)
     assert out["depth_gt"].shape == (KITTI_FULL_RES[1], KITTI_FULL_RES[0], 1)
     assert (out["depth_gt"] > 0).sum() >= 1
+
+
+def test_kitti_cli_data_path(tmp_path):
+    """--dataset kitti end-to-end: split file -> loader -> batches the
+    supervised RGB-only trainer consumes (mirrors the reference's
+    datasets_dict routing, trainer.py:254-267)."""
+    import cv2
+    from types import SimpleNamespace
+    from polardepth_tpu.cli import _make_kitti_data
+    from polardepth_tpu.config import Config
+
+    drive = "2011_09_26/2011_09_26_drive_0001_sync"
+    img_dir = tmp_path / drive / "image_02" / "data"
+    gt_dir = tmp_path / drive / "proj_depth" / "groundtruth" / "image_02"
+    img_dir.mkdir(parents=True)
+    gt_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for idx in range(4):
+        cv2.imwrite(str(img_dir / f"{idx:010d}.png"),
+                    rng.integers(0, 255, (38, 124, 3), dtype=np.uint8))
+        cv2.imwrite(str(gt_dir / f"{idx:010d}.png"),
+                    np.full((38, 124), 5 * 256, np.uint16))
+    (tmp_path / "eigen_tiny").mkdir()
+    with open(tmp_path / "eigen_tiny" / "train_files.txt", "w") as f:
+        for idx in range(4):
+            f.write(f"{drive} {idx} l\n")
+
+    cfg = Config(data_path=str(tmp_path), dataset="kitti_depth",
+                 split=str(tmp_path / "eigen_tiny"), height=32, width=64,
+                 batch_size=2, augment_xolp=False, augment_normals=False)
+    make, spe = _make_kitti_data(cfg, SimpleNamespace(synthetic=0), "train")
+    assert spe == 2
+    batch = next(make())
+    assert batch["color"].shape == (2, 32, 64, 3)
+    assert batch["depth"].shape == (2, 32, 64, 1)
+    np.testing.assert_allclose(batch["depth"], 5.0)
+    assert batch["K"].shape == (2, 4, 4)
+    np.testing.assert_allclose(batch["K"][0, 0, 0], 0.58 * 64, rtol=1e-6)
+
+    # polarization cues cannot be requested on KITTI
+    bad = Config(data_path=str(tmp_path), dataset="kitti",
+                 split=str(tmp_path / "eigen_tiny"))
+    with pytest.raises(ValueError, match="polarization"):
+        _make_kitti_data(bad, SimpleNamespace(synthetic=0), "train")
+
+
+def test_kitti_train_step_runs(tmp_path):
+    """One supervised RGB-only train step on a KITTI-style batch (sparse
+    depth supervision; the masked-L1 path ignores zero depths)."""
+    import jax
+    import jax.numpy as jnp
+    from polardepth_tpu.config import Config
+    from polardepth_tpu.train.state import create_train_state
+    from polardepth_tpu.train.trainer import build_model, make_train_step
+
+    h, w = 32, 64
+    cfg = Config(height=h, width=w, batch_size=2, augment_xolp=False,
+                 augment_normals=False, dropout_rate=0.0, max_depth=80.0,
+                 normals_loss_weight=0.0)
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    example = {"color": jnp.zeros((1, h, w, 3), jnp.float32), "pol": None}
+    state = create_train_state(model, {"params": rng, "dropout": rng},
+                               example, 1e-4)
+    rngs = np.random.default_rng(1)
+    depth = np.zeros((2, h, w, 1), np.float32)
+    depth[:, ::4, ::4] = rngs.uniform(2, 60, (2, h // 4, w // 4, 1))  # sparse
+    K = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+    K[:, 0, 0], K[:, 1, 1] = 0.58 * w, 1.92 * h
+    batch = {"color": rngs.integers(0, 255, (2, h, w, 3), dtype=np.uint8),
+             "depth": depth, "K": K}
+    step = jax.jit(make_train_step(model, cfg))
+    state, logs = step(state, batch, rng)
+    assert np.isfinite(float(logs["loss"]))
