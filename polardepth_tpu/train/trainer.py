@@ -139,6 +139,21 @@ def make_eval_step(model: PolarDepthNet, cfg: Config):
     return step
 
 
+def make_multi_eval_step(model: PolarDepthNet, cfg: Config):
+    """N eval batches in one jit call via lax.scan over stacked (N, B, ...)
+    arrays — identical accumulation to N sequential eval steps, one
+    dispatch (the eval analog of make_multi_train_step)."""
+    step = make_eval_step(model, cfg)
+
+    def multi(state: TrainState, batches: dict, acc: dict):
+        def body(a, batch):
+            return step(state, batch, a), None
+        acc, _ = jax.lax.scan(body, acc, batches)
+        return acc
+
+    return multi
+
+
 def make_infer_step(model: PolarDepthNet, cfg: Config):
     needs_pol = cfg.augment_xolp or cfg.augment_normals
 
@@ -195,6 +210,8 @@ class Trainer:
             make_multi_train_step(self.model, cfg), donate_argnums=donate)
         self._eval_step = jax.jit(make_eval_step(self.model, cfg),
                                   donate_argnums=(2,))
+        self._multi_eval_step = jax.jit(make_multi_eval_step(self.model, cfg),
+                                        donate_argnums=(2,))
         self._infer_step = jax.jit(make_infer_step(self.model, cfg))
         self.epoch = 0
 
@@ -274,14 +291,46 @@ class Trainer:
         sh = NamedSharding(self.mesh, P(None, "data"))
         return {k: jax.device_put(v, sh) for k, v in stacked.items()}
 
-    def evaluate(self, batches: Iterable[dict]) -> dict:
+    def evaluate(self, batches: Iterable[dict],
+                 batches_per_call: int = 1) -> dict:
         """Full per-material metric table (reference Trainer.test /
         Evaluation.test).  Metric sums accumulate on device across the whole
-        epoch; the host fetches one small pytree at the end."""
+        epoch; the host fetches one small pytree at the end.
+
+        batches_per_call > 1 folds that many eval batches into one jitted
+        lax.scan dispatch (identical accumulation, test-asserted; leftovers
+        run through the single-batch step so no frame is dropped).  The
+        default stays 1: measured on the axon tunnel, per-batch async
+        dispatch already overlaps H2D transfer with compute and beats x8
+        grouping (9.8 s vs 15.5 s per 16x12 eval batches at 320x480),
+        because grouping serializes an 8-batch host stack + transfer before
+        any compute.  Worth >1 only on links where *dispatch latency*
+        (not bandwidth) dominates per-batch compute."""
         acc = empty_accumulator()
-        for batch in batches:
+        pending: list[dict] = []
+
+        def flush_single(batch):
+            nonlocal acc
             db = self._shard(batch, EVAL_BATCH_KEYS)
             acc = self._eval_step(self.state, db, acc)
+
+        def flush_group():
+            nonlocal acc
+            stacked = {k: np.stack([b[k] for b in pending])
+                       for k in EVAL_BATCH_KEYS if k in pending[0]}
+            db = self._shard_stacked(stacked)
+            acc = self._multi_eval_step(self.state, db, acc)
+            pending.clear()
+
+        for batch in batches:
+            if batches_per_call <= 1:
+                flush_single(batch)
+                continue
+            pending.append(batch)
+            if len(pending) == batches_per_call:
+                flush_group()
+        for batch in pending:
+            flush_single(batch)
         results = accumulator_result(jax.device_get(acc))
         self.log(format_table(results))
         return results

@@ -251,3 +251,23 @@ def test_fit_kill_resume_identical_batch_sequence(tmp_path):
     p_res = jax.tree_util.tree_leaves(jax.device_get(t2.state.params))
     for a, b in zip(p_ref, p_res):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_multi_eval_equals_sequential_eval():
+    """evaluate(batches_per_call=N) must produce the identical metric table
+    to per-batch dispatch — the scan only groups dispatches."""
+    import jax
+    from polardepth_tpu.config import Config
+    from polardepth_tpu.data.synthetic import SyntheticHammer
+    from polardepth_tpu.train.trainer import Trainer
+
+    cfg = Config(height=32, width=32, batch_size=2, dropout_rate=0.0,
+                 mesh_shape=(1,))
+    gen = SyntheticHammer(32, 32, seed=9)
+    batches = [gen.batch(2, start=2 * i) for i in range(5)]  # 5 = 2x2 + 1
+    trainer = Trainer(cfg, steps_per_epoch=1, log_fn=lambda *_: None)
+    seq = trainer.evaluate(iter(batches), batches_per_call=1)
+    grp = trainer.evaluate(iter(batches), batches_per_call=2)
+    for sl in seq:
+        for m, v in seq[sl].items():
+            assert abs(v - grp[sl][m]) < 1e-5, (sl, m, v, grp[sl][m])
