@@ -491,8 +491,38 @@ def cmd_pointcloud(argv) -> int:
     return 0
 
 
+def cmd_export(argv) -> int:
+    """Serialize the fused preprocess+infer graph to a StableHLO artifact
+    (see eval/export.py) for Python-free serving."""
+    p = argparse.ArgumentParser("polardepth export")
+    _add_common_flags(p)
+    p.add_argument("--weights", type=str, default="",
+                   help="checkpoint step dir (orbax) to load")
+    p.add_argument("--out", type=str, default="model.shlo")
+    p.add_argument("--batch", type=int, default=0,
+                   help="fixed batch size; 0 = symbolic (any batch)")
+    p.add_argument("--platforms", type=str, default="",
+                   help="comma list, e.g. 'tpu,cpu'; default = current")
+    a = p.parse_args(argv)
+    cfg = _config_from_args(a)
+    from polardepth_tpu.train.trainer import Trainer
+    from polardepth_tpu.train import checkpoint as ckpt
+    from polardepth_tpu.eval.export import make_export, save_artifact
+
+    trainer = Trainer(cfg, steps_per_epoch=1)
+    if a.weights:
+        trainer.state = ckpt.restore(a.weights, trainer.state)
+    platforms = tuple(a.platforms.split(",")) if a.platforms else None
+    exp = make_export(cfg, trainer.state, batch=a.batch or None,
+                      platforms=platforms)
+    save_artifact(exp, a.out, cfg)
+    print(f"wrote {a.out} (+.json) — inputs {[str(s) for s in exp.in_avals]}"
+          f" platforms {list(exp.platforms)}")
+    return 0
+
+
 COMMANDS = {"train": cmd_train, "evaluate": cmd_evaluate,
-            "pointcloud": cmd_pointcloud}
+            "pointcloud": cmd_pointcloud, "export": cmd_export}
 
 
 def main(argv=None) -> int:

@@ -161,8 +161,14 @@ class FusedPiecewiseInterp:
         shape = rho.shape
         flat = rho.reshape(-1)
         P = flat.shape[0]
-        ch = min(self.chunk, P)
-        pad = (-P) % ch
+        if isinstance(P, int):
+            ch = min(self.chunk, P)
+            pad = (-P) % ch
+        else:
+            # symbolic pixel count (jax.export with a symbolic batch dim):
+            # chunked scanning needs concrete sizes, so process one chunk —
+            # serving batches are small enough for the compare matrix
+            ch, pad = P, 0
         if pad:
             flat = jnp.concatenate([flat, jnp.zeros((pad,), dt)])
 
