@@ -89,3 +89,47 @@ def test_student_train_step_runs():
     state2, trackers2, logs2 = step_frozen(state, trackers, batch, rng)
     assert np.isfinite(float(logs2["loss"]))
     np.testing.assert_allclose(np.asarray(trackers2), np.asarray(trackers))
+
+
+def test_student_data_parallel_8_devices_matches_single():
+    """The heaviest graph (teacher + cost-volume student) must give the
+    same loss with its batch sharded over 8 devices as on 1 device —
+    dropout/jitter PRNG, BN statistics, depth-bin trackers and the
+    plane-sweep all under data-parallel sharding."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from polardepth_tpu.parallel.mesh import create_mesh
+
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    cfg = _cfg(batch_size=8)
+    model = StudentModel(dropout_rate=0.0, num_depth_bins=16,
+                         scales=tuple(cfg.scales))
+    rng = jax.random.PRNGKey(0)
+    gen = SyntheticHammer(H, W, seed=6)
+    batch = gen.batch_frames(8, frame_ids=cfg.frame_ids, offset=2)
+    batch["inv_K"] = np.linalg.inv(batch["K"]).astype(np.float32)
+    example = {
+        "color_frames": jnp.zeros((1, 3, H, W, 3), jnp.float32),
+        "pol": jnp.zeros((1, H, W, 4), jnp.float32),
+        "lookup_frames": jnp.zeros((1, 1, H, W, 3), jnp.float32),
+        "rel_poses": jnp.zeros((1, 1, 4, 4), jnp.float32),
+        "K_quarter": jnp.eye(4)[None].astype(jnp.float32),
+        "inv_K_quarter": jnp.eye(4)[None].astype(jnp.float32),
+        "min_depth_bin": 0.1, "max_depth_bin": 2.0,
+    }
+    state = create_train_state(model, {"params": rng, "dropout": rng},
+                               example, 1e-4)
+    step = jax.jit(make_student_train_step(model, cfg))
+    trackers = (jnp.float32(cfg.min_depth), jnp.float32(cfg.max_depth))
+
+    results = {}
+    for n in (1, 8):
+        mesh = create_mesh((n,))
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        st = jax.device_put(state, repl)
+        tr = jax.device_put(trackers, repl)
+        db = {k: jax.device_put(v, data) for k, v in batch.items()
+              if isinstance(v, np.ndarray)}
+        st, tr, logs = step(st, tr, db, rng)
+        results[n] = (float(logs["loss"]), float(tr[0]), float(tr[1]))
+    np.testing.assert_allclose(results[1], results[8], rtol=1e-4)
