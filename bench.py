@@ -160,11 +160,15 @@ def main():
     metric = "frames/sec/chip preprocess+inference at 512px"
     if stale:
         metric += " [cached prior run; device busy]"
+    # "stale" is a first-class schema field (not just a metric-string tag)
+    # so a wedged-device round cannot silently report a cached number as a
+    # fresh measurement.
     print(json.dumps({
         "metric": metric,
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "stale": stale,
     }))
 
 

@@ -3,6 +3,8 @@
   python -m polardepth_tpu train      [flags]   — supervised training
   python -m polardepth_tpu evaluate   [flags]   — per-material eval tables
   python -m polardepth_tpu pointcloud [flags]   — predict + export PLY cloud
+  python -m polardepth_tpu export     [flags]   — StableHLO serving artifact
+  python -m polardepth_tpu analyze    [flags]   — 2-D visual analysis report
 
 Flag names mirror the reference's MonodepthOptions (options.py:13-380) so
 train_supervised_GT.sh maps 1:1; --synthetic N substitutes N generated
@@ -121,6 +123,15 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--enable_12channels", action="store_true",
                    default=d.enable_12channels)
     p.add_argument("--host_cache_gb", type=float, default=d.host_cache_gb)
+    p.add_argument("--decode_backend", type=str, default=d.decode_backend,
+                   choices=("auto", "native", "cv2"),
+                   help="host PNG decode: C++ libpng thread pool ('native'),"
+                        " cv2, or auto-detect")
+    p.add_argument("--random_flip", type=_bool, default=None,
+                   help="random horizontal flip of training samples "
+                        "(default: on for KITTI-family datasets, off for "
+                        "HAMMER — reference mono_dataset.py:152-160 vs "
+                        "indoor_dataset.py:302)")
     p.add_argument("--mesh_shape", type=lambda s: tuple(
         int(x) for x in s.split(",")), default=d.mesh_shape,
         help="device mesh shape, e.g. '-1' (all devices on data axis), '1'")
@@ -129,7 +140,22 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
 def _config_from_args(a) -> Config:
     fields = {f for f in Config.__dataclass_fields__}
     kw = {k: v for k, v in vars(a).items() if k in fields}
-    return Config(**kw)
+    if kw.get("random_flip") is None:
+        # Reference default: MonoDataset (KITTI-family) flips 50% of training
+        # samples; the HAMMER IndoorDataset hardwires do_flip=False.
+        kw["random_flip"] = kw.get("dataset", "HAMMER") != "HAMMER"
+    cfg = Config(**kw)
+    if cfg.dataset in ("kitti", "kitti_depth") and cfg.normals_loss_weight:
+        # Velodyne/groundtruth depth is sparse: Sobel-gradient normals of a
+        # mostly-zero map are noise, so the normals term would inject a
+        # garbage loss.  The reference never trains supervised on KITTI
+        # (its KITTI path is self-supervised), so zeroing is the consistent
+        # completion.
+        print(f"dataset {cfg.dataset!r} has sparse depth; forcing "
+              "normals_loss_weight 0 (was "
+              f"{cfg.normals_loss_weight})")
+        cfg = cfg.replace(normals_loss_weight=0.0)
+    return cfg
 
 
 def _make_kitti_data(cfg: Config, a, part: str):
@@ -153,6 +179,16 @@ def _make_kitti_data(cfg: Config, a, part: str):
         raise ValueError(
             f"dataset {cfg.dataset!r} has no polarization captures; run "
             "with --no_augment_xolp --no_augment_normals")
+    # Supervised training needs a depth-bearing dataset.  kitti_odom and
+    # cityscapes_preprocessed carry no depth (reference check_depth() is
+    # False for both) — they train through the self-supervised path
+    # (--depth_supervision_only false --depth_supervision false).
+    if part == "train" and cfg.depth_supervision and \
+            cfg.dataset not in ("kitti", "kitti_depth"):
+        raise ValueError(
+            f"dataset {cfg.dataset!r} has no depth supervision; train it "
+            "self-supervised: --depth_supervision_only false "
+            "--depth_supervision false")
     cls = {"kitti": KittiRawIndex, "kitti_odom": KittiOdomIndex,
            "kitti_depth": KittiDepthIndex,
            "cityscapes_preprocessed": CityscapesPreprocessedIndex}[
@@ -169,10 +205,12 @@ def _make_kitti_data(cfg: Config, a, part: str):
         s = index.load(int(i))
         out = {"color": cv2.resize(s["color"], (w, h),
                                    interpolation=cv2.INTER_AREA)}
+        # K is normalized by the raw frame dims for every dataset here
+        # (KITTI_NORMALIZED_K / CityscapesPreprocessedIndex), so scale by the
+        # working resolution as the reference MonoDataset does.
         K = s["K"].copy()
-        if cfg.dataset.startswith("kitti"):
-            K[0, :] *= w
-            K[1, :] *= h
+        K[0, :] *= w
+        K[1, :] *= h
         out["K"] = K
         out["inv_K"] = np.linalg.pinv(K).astype(np.float32)
         if "depth_gt" in s:
@@ -220,7 +258,7 @@ def _make_data(cfg: Config, a, part: str):
     frame_ids = (0,) if cfg.depth_supervision_only else tuple(cfg.frame_ids)
     index = HammerIndex(data_path, scenes, frame_ids, cfg.offset,
                         cfg.modality, cfg.depth_modality)
-    loader = HammerLoader(index)
+    loader = HammerLoader(index, backend=cfg.decode_backend)
 
     def load(i):
         s = loader.load(int(i))
@@ -235,11 +273,98 @@ def _make_data(cfg: Config, a, part: str):
     return (lambda: iter(it)), max(len(it), 1)
 
 
+def _make_kitti_multiframe_data(cfg: Config, a, part: str):
+    """Multi-frame KITTI / Cityscapes batches for the self-supervised path
+    (the reference's original monodepth2/ManyDepth use case: MonoDataset
+    temporal triplets, poses predicted by the pose net — no rel_poses here).
+
+    Frame spacing is the raw frame index (reference frame_idxs semantics,
+    mono_dataset.py; HAMMER's `offset` spacing does not apply).  kitti raw /
+    kitti_depth also ship sparse depth for the selfsup+supervised combo and
+    for eval metrics; kitti_odom / cityscapes_preprocessed have none, so
+    depth_supervision must be off for them.
+    """
+    import cv2
+    from polardepth_tpu.data.pipeline import BatchIterator
+    from polardepth_tpu.data.kitti import (
+        KittiRawIndex, KittiOdomIndex, KittiDepthIndex,
+        CityscapesPreprocessedIndex, _nearest_resize)
+
+    if cfg.augment_xolp or cfg.augment_normals:
+        raise ValueError(
+            f"dataset {cfg.dataset!r} has no polarization captures; run "
+            "with --no_augment_xolp --no_augment_normals")
+    has_depth = cfg.dataset in ("kitti", "kitti_depth")
+    if cfg.depth_supervision and not has_depth:
+        raise ValueError(
+            f"dataset {cfg.dataset!r} has no depth; add "
+            "--depth_supervision false")
+    cls = {"kitti": KittiRawIndex, "kitti_odom": KittiOdomIndex,
+           "kitti_depth": KittiDepthIndex,
+           "cityscapes_preprocessed": CityscapesPreprocessedIndex}[
+        cfg.dataset]
+    split_dir = cfg.split if os.path.isdir(cfg.split) else \
+        os.path.join(cfg.data_path, cfg.split)
+    with open(os.path.join(split_dir, f"{part}_files.txt")) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    index = cls(cfg.data_path, lines)
+    h, w = cfg.height, cfg.width
+    frame_ids = tuple(cfg.frame_ids)
+
+    def _resize(img):
+        return cv2.resize(img, (w, h), interpolation=cv2.INTER_AREA)
+
+    def load(i):
+        i = int(i)
+        if cfg.dataset == "cityscapes_preprocessed":
+            trip = index.load_triplet(i)
+            by_id = {-1: trip["frames"][0], 0: trip["frames"][1],
+                     1: trip["frames"][2]}
+            frames = [_resize(by_id[f]) for f in (0,) + tuple(
+                f for f in frame_ids if f)]
+            K = trip["K"].copy()
+            s = {}
+        else:
+            s = index.load(i, with_depth=has_depth) \
+                if cfg.dataset != "kitti_odom" else index.load(i)
+            frames = [_resize(s["color"])]
+            for f in frame_ids:
+                if f == 0:
+                    continue
+                img = cv2.imread(index.image_path(i, offset=f),
+                                 cv2.IMREAD_COLOR)[..., ::-1]
+                frames.append(_resize(np.ascontiguousarray(img)))
+            K = s["K"].copy()
+        K[0, :] *= w
+        K[1, :] *= h
+        out = {"color_frames": np.stack(frames),
+               "color": frames[0],
+               "pol": np.zeros((h, w, 4), np.uint8),
+               "K": K.astype(np.float32),
+               "inv_K": np.linalg.pinv(K).astype(np.float32),
+               "mask": np.zeros((h, w, 1), np.int32)}
+        if "depth_gt" in s:
+            d = _nearest_resize(s["depth_gt"][..., 0], (w, h))
+            out["depth_gt"] = d[..., None].astype(np.float32)
+            if cfg.depth_supervision:
+                out["depth"] = out["depth_gt"]
+        else:
+            out["depth_gt"] = np.zeros((h, w, 1), np.float32)
+        return out
+
+    it = BatchIterator(load, len(index), cfg.batch_size,
+                       shuffle=(part == "train"), seed=cfg.seed,
+                       cache_bytes=int(cfg.host_cache_gb * 2**30))
+    return (lambda: iter(it)), max(len(it), 1)
+
+
 def _make_multiframe_data(cfg: Config, a, part: str):
     """Multi-frame batches (color_frames + rel_poses) for the
     self-supervised / teacher-student paths."""
     from polardepth_tpu.data.pipeline import BatchIterator
     frame_ids = tuple(cfg.frame_ids)
+    if not a.synthetic and cfg.dataset != "HAMMER":
+        return _make_kitti_multiframe_data(cfg, a, part)
     if a.synthetic:
         from polardepth_tpu.data.synthetic import SyntheticHammer
         gen = SyntheticHammer(cfg.height, cfg.width, seed=cfg.seed)
@@ -258,7 +383,7 @@ def _make_multiframe_data(cfg: Config, a, part: str):
               else read_split(splits_dir, cfg.split, part))
     index = HammerIndex(cfg.data_path, scenes, frame_ids, cfg.offset,
                         cfg.modality, cfg.depth_modality)
-    loader = HammerLoader(index)
+    loader = HammerLoader(index, backend=cfg.decode_backend)
 
     def load(i):
         i = int(i)
@@ -320,10 +445,10 @@ def _train_alternative_path(cfg: Config, a, writer) -> int:
             model, {"params": rng, "dropout": rng}, example, schedule(spe))
         if cfg.weights_init == "pretrained":
             if cfg.dpt_weights_path and a.midas:
-                import numpy as _np
                 from polardepth_tpu.models.resnext import (
                     load_midas_npz, load_torch_resnext101)
-                raw = dict(_np.load(cfg.dpt_weights_path))
+                from polardepth_tpu.utils.torch_pth import load_array_dict
+                raw = load_array_dict(cfg.dpt_weights_path)
                 if any(k.startswith("pretrained.") for k in raw):
                     # full MiDaS v2.1 checkpoint: trunk + scratch + head
                     p, s = load_midas_npz(dict(state.params),
@@ -350,6 +475,11 @@ def _train_alternative_path(cfg: Config, a, writer) -> int:
         return 0
 
     if cfg.train_student:
+        if not a.synthetic and cfg.dataset != "HAMMER":
+            raise ValueError(
+                "the teacher-student (cost-volume) path consumes GT relative "
+                "poses, which only HAMMER provides; train KITTI-family data "
+                "through the self-supervised path instead")
         from polardepth_tpu.train.student import (
             StudentModel, make_student_train_step, make_student_infer_step)
         model = StudentModel(
@@ -447,6 +577,10 @@ def cmd_evaluate(argv) -> int:
     _add_common_flags(p)
     p.add_argument("--weights", type=str, required=False, default="",
                    help="checkpoint step dir (orbax) to load")
+    p.add_argument("--reference_weights", type=str, default="",
+                   help="a reference weights_<epoch>/ dir of per-component "
+                        ".pth files (torch-free import; reference "
+                        "evaluation.py:290-311)")
     a = p.parse_args(argv)
     cfg = _config_from_args(a)
     from polardepth_tpu.train.trainer import Trainer
@@ -456,6 +590,13 @@ def cmd_evaluate(argv) -> int:
     trainer = Trainer(cfg, steps_per_epoch=spe)
     if a.weights:
         trainer.state = ckpt.restore(a.weights, trainer.state)
+    if a.reference_weights:
+        from polardepth_tpu.models.reference_import import (
+            load_reference_components)
+        pp, ss, _ = load_reference_components(
+            a.reference_weights, trainer.state.params,
+            trainer.state.batch_stats)
+        trainer.state = trainer.state.replace(params=pp, batch_stats=ss)
     trainer.evaluate(eval_fn())
     return 0
 
@@ -521,8 +662,84 @@ def cmd_export(argv) -> int:
     return 0
 
 
+def cmd_analyze(argv) -> int:
+    """2-D visual analysis report from saved predictions (the reference's
+    analysis_2d/visual_analysis.ipynb as a CLI): per-frame |error| heatmaps
+    and masked-error renderings plus a per-material RMS markdown table,
+    from the PNGs `polardepth pointcloud` exports
+    (<name>_{rgb,mask,depth_pred,depth_gt}.png, depths uint16 mm)."""
+    import cv2
+    p = argparse.ArgumentParser("polardepth analyze")
+    p.add_argument("--pred_dir", type=str, required=True,
+                   help="dir of <name>_{rgb,mask,depth_pred,depth_gt}.png")
+    p.add_argument("--out", type=str, default="",
+                   help="output dir (default: <pred_dir>/analysis)")
+    p.add_argument("--min_depth", type=float, default=0.1)
+    p.add_argument("--max_depth", type=float, default=2.0)
+    a = p.parse_args(argv)
+    from polardepth_tpu.eval.analysis import (
+        error_maps, per_material_rms, render_error_heatmap)
+    from polardepth_tpu.utils.colormap import colormap_plasma
+
+    out_dir = a.out or os.path.join(a.pred_dir, "analysis")
+    os.makedirs(out_dir, exist_ok=True)
+    names = sorted(f[: -len("_depth_pred.png")]
+                   for f in os.listdir(a.pred_dir)
+                   if f.endswith("_depth_pred.png"))
+    if not names:
+        print(f"no *_depth_pred.png in {a.pred_dir}")
+        return 1
+
+    rows = []
+    agg: dict = {}
+    for name in names:
+        def _read(tag, flags=cv2.IMREAD_UNCHANGED):
+            path = os.path.join(a.pred_dir, f"{name}_{tag}.png")
+            img = cv2.imread(path, flags)
+            if img is None:
+                raise FileNotFoundError(path)
+            return img
+        pred = _read("depth_pred").astype(np.float32) / 1000.0
+        gt = _read("depth_gt").astype(np.float32) / 1000.0
+        mask = _read("mask")
+        heat = render_error_heatmap(pred, gt, a.min_depth, a.max_depth)
+        cv2.imwrite(os.path.join(out_dir, f"{name}_error.png"),
+                    (heat[..., ::-1] * 255).astype(np.uint8))
+        maps = error_maps(pred, gt, a.min_depth, a.max_depth)
+        obj = maps["abs"] * ((mask >= 20) & (mask <= 160))
+        cv2.imwrite(os.path.join(out_dir, f"{name}_error_objects.png"),
+                    (colormap_plasma(obj)[..., ::-1] * 255).astype(np.uint8))
+        rms = per_material_rms(pred, gt, mask, a.min_depth, a.max_depth)
+        rows.append((name, rms))
+        for k, v in rms.items():
+            if np.isfinite(v):
+                agg.setdefault(k, []).append(v)
+
+    mats = [k for k in rows[0][1] if k in agg]
+    lines = ["# 2-D visual analysis", "",
+             f"{len(names)} frames from `{a.pred_dir}`; RMS depth error (m) "
+             f"per material slice, valid range "
+             f"[{a.min_depth}, {a.max_depth}] m.", "",
+             "| frame | " + " | ".join(mats) + " |",
+             "|---|" + "---|" * len(mats)]
+    for name, rms in rows:
+        lines.append("| " + name + " | " + " | ".join(
+            f"{rms[m]:.4f}" if np.isfinite(rms.get(m, float('nan')))
+            else "-" for m in mats) + " |")
+    lines.append("| **mean** | " + " | ".join(
+        f"{np.mean(agg[m]):.4f}" for m in mats) + " |")
+    lines += ["", "Per-frame artifacts: `<name>_error.png` (|error| "
+              "heatmap), `<name>_error_objects.png` (objects-masked)."]
+    report = os.path.join(out_dir, "report.md")
+    with open(report, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {report} (+{2 * len(names)} heatmaps)")
+    return 0
+
+
 COMMANDS = {"train": cmd_train, "evaluate": cmd_evaluate,
-            "pointcloud": cmd_pointcloud, "export": cmd_export}
+            "pointcloud": cmd_pointcloud, "export": cmd_export,
+            "analyze": cmd_analyze}
 
 
 def main(argv=None) -> int:

@@ -64,6 +64,12 @@ class Config:
     # pol00/pol10/pol01/pol11) instead of the RGB frame
     # (reference indoor_dataset.py:85-86, 220-256, 322-333).
     enable_12channels: bool = False
+    # Random horizontal flip of 50% of training samples, applied on device
+    # inside the jitted train step.  The reference's MonoDataset (KITTI-style)
+    # always flips in training (mono_dataset.py:152-160) while the HAMMER
+    # IndoorDataset hardwires do_flip=False (indoor_dataset.py:302) — so the
+    # default is False and the CLI turns it on for KITTI-family datasets.
+    random_flip: bool = False
     num_layers: int = 18
     weights_init: str = "scratch"    # "pretrained" loads pretrained_weights_path
     # Converted torchvision ResNet18 ImageNet .npz (one-time offline dump via
@@ -121,6 +127,10 @@ class Config:
     # layout-compatible across both settings.
     fast_decoder: bool = False
     donate_state: bool = True
+    # Host PNG decode backend: "cv2" (python) or "native" (the C++ libpng
+    # thread-pool decoder, polardepth_tpu.runtime — GIL-free batch decode).
+    # "auto" uses native when its shared library builds, else cv2.
+    decode_backend: str = "auto"
     # Decoded-sample host RAM cache (GB; 0 disables).  Samples are raw
     # uint8/uint16 and all augmentation is device-side, so per-index loads
     # are deterministic and caching is exact; epochs 2+ skip PNG decode —

@@ -104,10 +104,13 @@ def random_horizontal_flip(key: jax.Array, batch: dict,
     flip = None
     out = {}
     for k, v in batch.items():
-        if hasattr(v, "ndim") and v.ndim == 4:
+        if hasattr(v, "ndim") and v.ndim in (4, 5):
             if flip is None:
                 flip = jax.random.uniform(key, (v.shape[0], 1, 1, 1)) < prob
-            out[k] = jnp.where(flip, v[:, :, ::-1], v)
+            if v.ndim == 4:                     # (B, H, W, C)
+                out[k] = jnp.where(flip, v[:, :, ::-1], v)
+            else:                               # (B, F, H, W, C) frame stacks
+                out[k] = jnp.where(flip[:, None], v[:, :, :, ::-1], v)
         else:
             out[k] = v
     return out

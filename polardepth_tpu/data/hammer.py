@@ -84,7 +84,9 @@ class HammerLoader:
 
     backend='native' decodes through the C++ libpng thread pool
     (polardepth_tpu.runtime) — GIL-free batch decode of the 8 per-frame
-    PNGs; 'cv2' is the pure-Python fallback.
+    PNGs; 'cv2' is the pure-Python fallback; 'auto' (the production default,
+    Config.decode_backend) uses native when its shared library builds on
+    this host and silently falls back to cv2 otherwise.
     """
 
     def __init__(self, index: HammerIndex, backend: str = "cv2",
@@ -92,9 +94,15 @@ class HammerLoader:
         self.index = index
         self._intrinsics_cache: dict[str, np.ndarray] = {}
         self._native = None
+        if backend == "auto":
+            from polardepth_tpu.runtime import native as _rt
+            backend = "native" if _rt.available() else "cv2"
         if backend == "native":
             from polardepth_tpu.runtime.native import NativePngDecoder
             self._native = NativePngDecoder(nthreads)
+        elif backend != "cv2":
+            raise ValueError(f"unknown decode backend {backend!r}")
+        self.backend = backend
 
     def _normalized_intrinsics(self, base: str) -> np.ndarray:
         if base not in self._intrinsics_cache:

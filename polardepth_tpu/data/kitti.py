@@ -196,8 +196,15 @@ class KittiDepthIndex(KittiRawIndex):
 
 class CityscapesPreprocessedIndex:
     """Preprocessed Cityscapes triplets (reference
-    cityscapes_preprocessed_dataset.py): <folder>/<frame>.jpg crops with a
-    per-sequence camera json providing fx, fy, u0, v0."""
+    cityscapes_preprocessed_dataset.py:13-75): <city>/<frame>.jpg holds the
+    -1/0/+1 frames concatenated into one wide image (ego hood pre-cropped,
+    RAW 1024x384 per frame), with a per-frame '<frame>_cam.txt'
+    comma-separated camera matrix.  K is returned NORMALIZED by the raw
+    dimensions (reference load_intrinsics :51-52); callers scale by the
+    working (width, height) exactly like the KITTI normalized K."""
+
+    RAW_WIDTH = 1024
+    RAW_HEIGHT = 384
 
     def __init__(self, data_path: str, split_lines: Sequence[str]):
         self.data_path = data_path
@@ -207,23 +214,31 @@ class CityscapesPreprocessedIndex:
         return len(self.entries)
 
     def load_intrinsics(self, city: str, frame: str) -> np.ndarray:
-        import json
-        path = os.path.join(self.data_path, "camera", city,
-                            f"{frame}_camera.json")
-        with open(path) as f:
-            cam = json.load(f)["intrinsic"]
+        cam = np.loadtxt(os.path.join(self.data_path, city,
+                                      f"{frame}_cam.txt"), delimiter=",")
         K = np.eye(4, dtype=np.float32)
-        K[0, 0], K[1, 1] = cam["fx"], cam["fy"]
-        K[0, 2], K[1, 2] = cam["u0"], cam["v0"]
+        K[0, 0], K[1, 1] = cam[0], cam[4]
+        K[0, 2], K[1, 2] = cam[2], cam[5]
+        K[0, :] /= self.RAW_WIDTH
+        K[1, :] /= self.RAW_HEIGHT
         return K
 
     def load(self, i: int) -> dict:
+        """Center frame + normalized K (single-frame consumers)."""
+        s = self.load_triplet(i)
+        return {"color": s["frames"][1], "K": s["K"]}
+
+    def load_triplet(self, i: int) -> dict:
+        """All three frames [-1, 0, +1] split from the wide image
+        (reference get_colors :56-72)."""
         import cv2
         city, frame = self.entries[i][:2]
         img = cv2.imread(os.path.join(self.data_path, city,
                                       f"{frame}.jpg"))[..., ::-1]
-        return {"color": np.ascontiguousarray(img),
-                "K": self.load_intrinsics(city, frame)}
+        w = img.shape[1] // 3
+        frames = [np.ascontiguousarray(img[:, k * w:(k + 1) * w])
+                  for k in range(3)]
+        return {"frames": frames, "K": self.load_intrinsics(city, frame)}
 
 
 class CityscapesEvalIndex:

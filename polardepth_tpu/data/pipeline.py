@@ -38,7 +38,17 @@ class BatchIterator:
     def __init__(self, load_fn: Callable[[int], dict], num_samples: int,
                  batch_size: int, shuffle: bool = False, seed: int = 0,
                  num_workers: int = 8, array_keys: Optional[Sequence[str]] = None,
-                 cache_bytes: int = 0):
+                 cache_bytes: int = 0, shard_index: int = 0,
+                 num_shards: int = 1):
+        # shard_index/num_shards: multi-host data loading — each process
+        # yields only its interleaved slice of every GLOBAL batch (the
+        # shuffle order is a pure function of (seed, epoch), so shards are
+        # consistent and disjoint across hosts with no coordination; see
+        # parallel/mesh.py multi-host recipe).  batch_size is the GLOBAL
+        # batch size; local batches carry batch_size / num_shards samples.
+        if batch_size % num_shards:
+            raise ValueError(f"global batch_size {batch_size} must divide "
+                             f"evenly over {num_shards} process shards")
         self.load_fn = load_fn
         self.num_samples = num_samples
         self.batch_size = batch_size
@@ -46,6 +56,8 @@ class BatchIterator:
         self.seed = seed
         self.num_workers = num_workers
         self.array_keys = array_keys
+        self.shard_index = shard_index
+        self.num_shards = num_shards
         self.epoch = 0
         self.cursor = 0
         self._resume_pending = False
@@ -101,6 +113,8 @@ class BatchIterator:
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             for b in range(start, n_batches):
                 idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                if self.num_shards > 1:  # this process's slice of the batch
+                    idxs = idxs[self.shard_index::self.num_shards]
                 samples = list(pool.map(self._load_cached, idxs))
                 self.cursor = b + 1
                 yield self._stack(samples)
@@ -142,16 +156,25 @@ def device_prefetch(it: Iterator[dict], sharding=None,
         return jax.device_put(batch)
 
     def producer():
+        # A producer-side failure (decode error, device_put OOM, ...) is
+        # shipped through the queue and re-raised in the consumer: a loader
+        # error mid-epoch must abort the epoch, not silently truncate it
+        # (strict-loader policy; the reference swallows with a bare
+        # try/except, indoor_dataset.py:426-428 — an anti-pattern, SURVEY §4).
         try:
             for batch in it:
                 q.put(put(batch))
-        finally:
-            q.put(_END)
+        except BaseException as exc:  # noqa: BLE001 — re-raised below
+            q.put((_END, exc))
+            return
+        q.put((_END, None))
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
     while True:
         item = q.get()
-        if item is _END:
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _END:
+            if item[1] is not None:
+                raise item[1]
             break
         yield item

@@ -45,7 +45,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from polardepth_tpu.models.layers import TorchConv
-from polardepth_tpu.ops.resize import resize_bilinear, upsample2x
+from polardepth_tpu.ops.resize import resize_bilinear
 
 VARIANTS = {
     "vitb16": dict(depth=12, dim=768, heads=12, hooks=(2, 5, 8, 11),
@@ -191,7 +191,11 @@ class _FusionBlock(nn.Module):
             x = x + _ResidualConvUnit(self.features,
                                       name="resConfUnit1")(skip)
         x = _ResidualConvUnit(self.features, name="resConfUnit2")(x)
-        x = upsample2x(x)
+        # reference DPT upsamples with bilinear align_corners=True
+        # (dpt/blocks.py:378); required for output parity with grafted
+        # MiDaS/timm DPT checkpoints
+        h, w = x.shape[1:3]
+        x = resize_bilinear(x, (2 * h, 2 * w), align_corners=True)
         return TorchConv(self.features, 1, name="out_conv")(x)
 
 
@@ -293,9 +297,10 @@ class DPTDepthModel(nn.Module):
         path = _FusionBlock(name="refinenet2")(path, rn[1])
         path = _FusionBlock(name="refinenet1")(path, rn[0])  # 1/2 res
 
-        # head (models.py:DPTDepthModel head Sequential)
+        # head (models.py:DPTDepthModel head Sequential; its Interpolate is
+        # bilinear align_corners=True, models.py:101)
         h = TorchConv(128, 3, padding=1, name="head1")(path)
-        h = resize_bilinear(h, (H, W))
+        h = resize_bilinear(h, (H, W), align_corners=True)
         h = TorchConv(32, 3, padding=1, name="head2")(h)
         h = nn.relu(h)
         # zero bias: with torch's U(+-1/sqrt(32)) bias a negative draw can

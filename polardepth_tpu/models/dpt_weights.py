@@ -195,7 +195,11 @@ def load_dpt_npz(params: dict, src, grid_hw=None, log=print) -> dict:
     Returns a new tree; raises KeyError listing any missing backbone key."""
     import jax
 
-    raw = dict(np.load(src)) if isinstance(src, str) else dict(src)
+    if isinstance(src, str):
+        from polardepth_tpu.utils.torch_pth import load_array_dict
+        raw = load_array_dict(src)
+    else:
+        raw = dict(src)
     state = {}
     for k, v in raw.items():
         for pre in _PREFIXES:

@@ -129,10 +129,16 @@ def load_torch_resnet18(npz_path: str, shallow: bool = False,
     the reference's multi-image pretrained init
     (resnet_encoder.py:46-54: cat([conv1_weight] * n, 1) / n).
 
-    The dump must be produced offline where torchvision exists:
-      np.savez(path, **{k: v.numpy() for k, v in model.state_dict().items()})
+    Accepts an offline .npz dump
+    (np.savez(path, **{k: v.numpy() for k, v in state_dict.items()})), a
+    torch zip-format .pth directly (torch-free reader, utils/torch_pth.py),
+    or an in-memory {torch key: array} dict.
     """
-    raw = dict(np.load(npz_path))
+    if isinstance(npz_path, str):
+        from polardepth_tpu.utils.torch_pth import load_array_dict
+        raw = load_array_dict(npz_path)
+    else:
+        raw = dict(npz_path)
     if num_input_images > 1:
         raw["conv1.weight"] = np.concatenate(
             [raw["conv1.weight"]] * num_input_images,

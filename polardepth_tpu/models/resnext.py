@@ -110,7 +110,11 @@ def load_torch_resnext101(src) -> tuple[dict, dict]:
     """Dumped torchvision/WSL resnext101_32x8d state_dict (.npz path or
     dict, original torch key names, OIHW kernels) -> (params, batch_stats)
     pytrees under ResNeXt101Trunk's module names."""
-    raw = dict(np.load(src)) if isinstance(src, str) else dict(src)
+    if isinstance(src, str):
+        from polardepth_tpu.utils.torch_pth import load_array_dict
+        raw = load_array_dict(src)
+    else:
+        raw = dict(src)
 
     def conv(k):
         return jnp.asarray(np.transpose(raw[k], (2, 3, 1, 0)))
@@ -160,7 +164,11 @@ def load_midas_npz(params: dict, batch_stats: dict, src,
     """
     import copy
 
-    raw = dict(np.load(src)) if isinstance(src, str) else dict(src)
+    if isinstance(src, str):
+        from polardepth_tpu.utils.torch_pth import load_array_dict
+        raw = load_array_dict(src)
+    else:
+        raw = dict(src)
     trunk_sd, scratch = {}, {}
     for k, v in raw.items():
         v = np.asarray(v)

@@ -1,4 +1,23 @@
-"""Mesh construction and sharding specs for the data-parallel train step."""
+"""Mesh construction and sharding specs for the data-parallel train step.
+
+Multi-host recipe (SPMD over a pod slice; untestable on this single-host
+rig but the code path is live and unit-tested in single-process mode):
+
+  1. every process calls `jax.distributed.initialize()` then builds the SAME
+     global mesh (`create_mesh((-1,))` over `jax.devices()` — all processes
+     see the global device list);
+  2. each process loads only its shard of every global batch:
+     `BatchIterator(..., shard_index=jax.process_index(),
+                    num_shards=jax.process_count())` — the shuffle order is
+     a pure function of (seed, epoch), so shards are consistent and disjoint
+     across hosts with no coordination;
+  3. `global_batch()` (used by Trainer._shard) assembles the global array
+     from per-process local shards via
+     `jax.make_array_from_process_local_data` — on one host it degrades to
+     a plain sharded device_put;
+  4. the jitted train step is unchanged: XLA inserts the gradient
+     all-reduce over ICI within a slice and DCN across slices.
+"""
 
 from __future__ import annotations
 
@@ -46,3 +65,18 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
     """device_put a host batch dict with the batch dim split over the mesh."""
     sh = batch_sharding(mesh, axis)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def global_batch(x, sharding: NamedSharding):
+    """Assemble a globally-sharded array from this process's local data.
+
+    Single-process: a plain sharded device_put (bitwise-identical behavior
+    to before).  Multi-process: `x` is this host's shard of the global batch
+    (global_batch_size / process_count rows, as produced by a
+    process-sharded BatchIterator) and the global jax.Array is assembled
+    with `jax.make_array_from_process_local_data` — each host feeds only
+    its addressable devices; no cross-host copy of input data ever happens.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))

@@ -45,6 +45,17 @@ def save(directory: str, state, cfg: Optional[Config] = None,
     return path
 
 
+def _checkpoint_has_extra(path: str) -> bool:
+    """True if the checkpoint at `path` was written with an 'extra' tree
+    (read from orbax metadata; conservative True on metadata failure so a
+    real restore error is raised by the restore itself, not masked here)."""
+    try:
+        md = _checkpointer().metadata(os.path.abspath(path))
+        return "extra" in md.item_metadata.tree
+    except Exception:
+        return True
+
+
 def restore(path: str, state, extra=None):
     """Restore into an existing (abstract or concrete) state template.
     With an `extra` template, returns (state, extra); else just state.
@@ -53,16 +64,20 @@ def restore(path: str, state, extra=None):
     recovery)."""
     tree = {"params": state.params, "batch_stats": state.batch_stats,
             "opt_state": state.opt_state, "step": state.step}
-    if extra is not None:
-        tree["extra"] = extra
-    try:
-        restored = _checkpointer().restore(os.path.abspath(path), item=tree)
-    except Exception:
-        if extra is None:
-            raise
-        del tree["extra"]
+    if extra is not None and not _checkpoint_has_extra(path):
+        # Legacy checkpoint written without 'extra': fall back to the
+        # template's own extra values (resume works, but without exact
+        # data-order recovery).  Decided from the checkpoint's metadata, not
+        # a blanket try/except — genuine corruption or shape mismatches must
+        # surface as the real error.
+        print(f"checkpoint {path} has no 'extra' tree; exact data-order "
+              "resume unavailable, using template values")
         restored = _checkpointer().restore(os.path.abspath(path), item=tree)
         restored["extra"] = extra
+    else:
+        if extra is not None:
+            tree["extra"] = extra
+        restored = _checkpointer().restore(os.path.abspath(path), item=tree)
     state = state.replace(params=restored["params"],
                           batch_stats=restored["batch_stats"],
                           opt_state=restored["opt_state"],

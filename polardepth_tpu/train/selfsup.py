@@ -68,12 +68,11 @@ def preprocess_multiframe(batch: dict, cfg: Config, key: jax.Array,
     indoor_dataset.py:277-428; trainer.py:497 feeds color_aug to the nets
     and the clean colors to the losses)."""
     h, w = cfg.height, cfg.width
+    key_jit, key_flip = jax.random.split(key)
     cf = batch["color_frames"].astype(jnp.float32) / 255.0
     if cf.shape[2:4] != (h, w):
         cf = _resize_frames(cf, (h, w))
-    pb = {"color_frames": cf, "color": cf[:, 0], "K": batch["K"],
-          "inv_K": batch["inv_K"]}
-    pb["color_frames_aug"] = (color_jitter_frames(key, cf) if train else cf)
+    pb = {"color_frames": cf, "K": batch["K"], "inv_K": batch["inv_K"]}
 
     if "pol" in batch:
         pol = batch["pol"].astype(jnp.float32)  # keep 0..255 scale for XOLP
@@ -85,6 +84,14 @@ def preprocess_multiframe(batch: dict, cfg: Config, key: jax.Array,
         if d.shape[1:3] != (h, w):
             d = resize_bilinear(d, (h, w))
         pb["depth"] = d
+    if train and cfg.random_flip:
+        # KITTI-style 50% horizontal flip: all frames + depth flip together,
+        # K untouched (reference MonoDataset, mono_dataset.py:152-160).
+        from polardepth_tpu.data.augment import random_horizontal_flip
+        pb = random_horizontal_flip(key_flip, pb)
+    pb["color"] = pb["color_frames"][:, 0]
+    pb["color_frames_aug"] = (color_jitter_frames(key_jit, pb["color_frames"])
+                              if train else pb["color_frames"])
     if "rel_poses" in batch:
         pb["rel_poses"] = batch["rel_poses"]
     return pb

@@ -35,7 +35,7 @@ from polardepth_tpu.eval.evaluation import (
 from polardepth_tpu.models.network import PolarDepthNet
 from polardepth_tpu.ops.depth import disp_to_depth
 from polardepth_tpu.parallel.mesh import (
-    create_mesh, batch_sharding, replicated_sharding,
+    create_mesh, batch_sharding, replicated_sharding, global_batch,
 )
 from polardepth_tpu.train.losses import (
     preprocess_batch, supervised_losses, twelve_channel_input, jitter_12ch,
@@ -78,8 +78,14 @@ def make_train_step(model: PolarDepthNet, cfg: Config):
 
     def step(state: TrainState, batch: dict, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
-        k_aug, k_drop = jax.random.split(rng)
+        k_aug, k_flip, k_drop = jax.random.split(rng, 3)
         pb = preprocess_batch(batch, cfg)
+        if cfg.random_flip:
+            # 50% per-sample horizontal flip of all image-likes together
+            # (color/pol/depth; K deliberately untouched, matching the
+            # reference's MonoDataset flip, mono_dataset.py:152-160).
+            from polardepth_tpu.data.augment import random_horizontal_flip
+            pb = random_horizontal_flip(k_flip, pb)
         color_aug = _encoder_input(cfg, pb, k_aug)
 
         def loss_fn(params):
@@ -218,10 +224,13 @@ class Trainer:
     # -- data placement -------------------------------------------------------
 
     def _shard(self, batch: dict, keys) -> dict:
+        """Place a (process-local) batch with the batch dim split over the
+        mesh; assembles the global array from per-process shards on
+        multi-host meshes (parallel/mesh.py:global_batch)."""
         out = {}
         for k in keys:
             if k in batch:
-                out[k] = jax.device_put(batch[k], self.batch_sharding)
+                out[k] = global_batch(batch[k], self.batch_sharding)
         return out
 
     # -- public API -----------------------------------------------------------
@@ -289,7 +298,7 @@ class Trainer:
         """Place (N, B, ...) stacked batches with B split over the mesh."""
         from jax.sharding import NamedSharding, PartitionSpec as P
         sh = NamedSharding(self.mesh, P(None, "data"))
-        return {k: jax.device_put(v, sh) for k, v in stacked.items()}
+        return {k: global_batch(v, sh) for k, v in stacked.items()}
 
     def evaluate(self, batches: Iterable[dict],
                  batches_per_call: int = 1) -> dict:
@@ -401,10 +410,17 @@ class Trainer:
 
         flush_cb = None
         if checkpoint_dir and save_every_steps:
+            # step advances in steps_per_call increments, so a simple
+            # `step % save_every_steps == 0` never fires when the cadence is
+            # not a multiple of the call grouping; track the last-saved step
+            # instead.
+            last_saved = [int(self.state.step)]
+
             def flush_cb(step):
-                if step % save_every_steps == 0:
+                if step - last_saved[0] >= save_every_steps:
                     ckpt.save(checkpoint_dir, self.state, self.cfg,
                               extra=ckpt_extra())
+                    last_saved[0] = step
 
         start_epoch = (int(self.state.step) // max(self.steps_per_epoch, 1))
         for e in range(start_epoch, num_epochs):

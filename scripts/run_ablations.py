@@ -1,17 +1,21 @@
 #!/usr/bin/env python
-"""Round-2 accuracy ablations: train the four modality graphs to
-convergence on an on-disk synthetic HAMMER corpus through the real
-HammerLoader, evaluate the per-material table on held-out scenes, and write
-ACCURACY_r02.md.
+"""Accuracy ablations: train the published graph variants to convergence on
+an on-disk synthetic HAMMER corpus through the real HammerLoader, evaluate
+the per-material table on held-out scenes, and write ACCURACY_r03.md.
 
-Mirrors the reference's ablation protocol (BASELINE.md slides 33/35: RGB /
-+XOLP / +normals / tri-encoder on HAMMER_unseen with material masks), with
-the synthetic corpus standing in for the non-distributable HAMMER data.
+Round-3 matrix (reference ablation axes, BASELINE.md slides 31-39 /
+options.py:213-230):
+  * modality block: RGB / +XOLP / +normals / tri-encoder  (slides 33/35)
+  * arch1++ attention                                      (slide 39)
+  * 12-channel polarization input                          (indoor_dataset
+                                                            enable_12channels)
+  * normals loss weight lambda in {0, 0.35, 1}             (slides 31-32)
+  * smoothness off, scale-0-only                           (slides 31-32)
 Also reports the bf16-vs-f32 inference metric delta on the tri-encoder
 model (TPU MXU fast path sanity).
 
 Run on the TPU:
-  python scripts/run_ablations.py --root /tmp/ablation_corpus --out ACCURACY_r02.md
+  python scripts/run_ablations.py --root /tmp/ablation_corpus --out ACCURACY_r03.md
 """
 
 from __future__ import annotations
@@ -32,10 +36,21 @@ from polardepth_tpu.data.pipeline import BatchIterator  # noqa: E402
 from polardepth_tpu.data.synthetic import write_synthetic_scene  # noqa: E402
 
 ABLATIONS = [
+    # modality block (BASELINE slide 33/35)
     ("RGB", dict(augment_xolp=False, augment_normals=False)),
     ("RGB+XOLP", dict(augment_xolp=True, augment_normals=False)),
     ("RGB+normals", dict(augment_xolp=False, augment_normals=True)),
     ("RGB+XOLP+normals", dict(augment_xolp=True, augment_normals=True)),
+    # arch1++ attention (BASELINE slide 39 / config 4)
+    ("RGB+XOLP+normals+attention", dict(use_attention=True)),
+    # 12-channel polarization input (indoor_dataset.py:220-256)
+    ("12channel", dict(enable_12channels=True)),
+    # normals loss weight sweep (slides 31-32; 0.35 == tri-encoder row)
+    ("lambda=0", dict(normals_loss_weight=0.0)),
+    ("lambda=1", dict(normals_loss_weight=1.0)),
+    # loss-structure rows (slides 31-32)
+    ("no-smoothness", dict(disparity_smoothness=0.0)),
+    ("scale0-only", dict(scales=(0,))),
 ]
 
 METRICS = ("abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3")
@@ -59,7 +74,7 @@ def build_corpus(root, n_train, n_val, frames, h, w):
 def make_data(cfg, scenes, part):
     index = HammerIndex(cfg.data_path, scenes, (0,), cfg.offset,
                         cfg.modality, cfg.depth_modality)
-    loader = HammerLoader(index)
+    loader = HammerLoader(index, backend=cfg.decode_backend)
 
     def load(i):
         s = loader.load(int(i))
@@ -75,7 +90,7 @@ def make_data(cfg, scenes, part):
 
 
 def run_one(name, cfg, train_scenes, val_scenes, steps_per_call, log):
-    from polardepth_tpu.train.trainer import Trainer, make_eval_step
+    from polardepth_tpu.train.trainer import Trainer
     train_fn, spe = make_data(cfg, train_scenes, "train")
     eval_fn, _ = make_data(cfg, val_scenes, "val")
     trainer = Trainer(cfg, steps_per_epoch=spe, log_fn=log)
@@ -112,7 +127,7 @@ def fmt_row(row):
 
 def write_report(out_path, results, bf16_delta, meta):
     lines = [
-        "# ACCURACY — round 2 ablations (synthetic corpus, real loader)",
+        "# ACCURACY — round 3 ablations (synthetic corpus, real loader)",
         "",
         f"Setup: {meta['n_train']} train / {meta['n_val']} held-out scenes x "
         f"{meta['frames']} frames at {meta['w']}x{meta['h']}, supervised GT "
@@ -124,8 +139,10 @@ def write_report(out_path, results, bf16_delta, meta):
         "(data/synthetic.py): DoLP/AoLP follow the diffuse Fresnel curve "
         "the network's priors invert, so the XOLP/normals encoders receive "
         "real signal.  The real HAMMER dataset is not distributable with "
-        "the framework; this protocol mirrors the reference ablation "
-        "(BASELINE.md slide 33/35) on the same loader/eval code paths.",
+        "the framework; this protocol mirrors the reference ablation axes "
+        "(BASELINE.md slides 31-39) on the same loader/eval code paths.  "
+        "Rows beyond the modality block train the tri-encoder graph with "
+        "one axis varied.",
         "",
     ]
     slices = ["all", "objects", "glass", "cutlery", "can", "bottle",
@@ -142,9 +159,10 @@ def write_report(out_path, results, bf16_delta, meta):
                 lines.append(f"| {name} | {fmt_row(tbl[sl])} |")
         lines.append("")
 
+    by = {n: t for n, t in results}
+
     lines.append("## Directionality vs BASELINE.md")
     lines.append("")
-    by = {n: t for n, t in results}
     for sl in ("glass", "objects", "all"):
         try:
             r = by["RGB"][sl]["abs_rel"]
@@ -156,6 +174,29 @@ def write_report(out_path, results, bf16_delta, meta):
         except KeyError:
             pass
     lines.append("")
+
+    # normals-weight ordering (reference slides 31-32: lambda=0.35 best)
+    lam = {"0": by.get("lambda=0"), "0.35": by.get("RGB+XOLP+normals"),
+           "1": by.get("lambda=1")}
+    if all(v is not None for v in lam.values()):
+        lines.append("## Normals loss weight sweep (reference slides 31-32)")
+        lines.append("")
+        lines.append("| lambda | objects abs_rel | objects rmse | "
+                     "glass abs_rel | all abs_rel |")
+        lines.append("|---|---|---|---|---|")
+        for k, tbl in lam.items():
+            lines.append(
+                f"| {k} | {tbl['objects']['abs_rel']:.5f} | "
+                f"{tbl['objects']['rmse']:.5f} | "
+                f"{tbl['glass']['abs_rel']:.5f} | "
+                f"{tbl['all']['abs_rel']:.5f} |")
+        order = sorted(lam, key=lambda k: lam[k]["objects"]["abs_rel"])
+        lines.append("")
+        lines.append(f"Objects abs_rel ordering (best first): "
+                     f"lambda={', '.join(order)} "
+                     f"(reference: 0.35 best on objects/glass slices).")
+        lines.append("")
+
     lines.append("## bf16-vs-f32 inference metric delta (tri-encoder)")
     lines.append("")
     lines.append("| slice | metric | f32 | bf16 | delta |")
@@ -171,7 +212,7 @@ def write_report(out_path, results, bf16_delta, meta):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--root", default="/tmp/ablation_corpus")
-    p.add_argument("--out", default="ACCURACY_r02.md")
+    p.add_argument("--out", default="ACCURACY_r03.md")
     p.add_argument("--train_scenes", type=int, default=16)
     p.add_argument("--val_scenes", type=int, default=4)
     p.add_argument("--frames", type=int, default=36)
@@ -181,6 +222,8 @@ def main():
     p.add_argument("--num_epochs", type=int, default=16)
     p.add_argument("--scheduler_step_size", type=int, default=6)
     p.add_argument("--steps_per_call", type=int, default=8)
+    p.add_argument("--only", default="",
+                   help="comma list of ablation names to (re)run")
     p.add_argument("--partial", default="ablation_partial.json")
     a = p.parse_args()
 
@@ -198,26 +241,39 @@ def main():
         scheduler_step_size=a.scheduler_step_size,
         mesh_shape=(1,) if len(jax.devices()) == 1 else (-1,))
 
-    results = []
-    bf16_delta = []
+    only = set(a.only.split(",")) if a.only else None
     partial = {}
+    if os.path.exists(a.partial):
+        with open(a.partial) as f:
+            partial = json.load(f)
+
+    results = []
+    bf16_delta = list(partial.get("__bf16_delta__", []))
     for name, kw in ABLATIONS:
         cfg = base.replace(**kw)
+        if (only and name not in only) or \
+                (not only and name in partial and name != "__bf16_delta__"):
+            if name in partial:   # reuse completed rows on resume
+                results.append((name, partial[name]["table"]))
+                log(f"=== {name} === (cached)")
+                continue
         log(f"=== {name} ===")
         trainer, table, train_time = run_one(
             name, cfg, train_scenes, val_scenes, a.steps_per_call, log)
         results.append((name, table))
         partial[name] = {"table": table, "train_time_s": train_time}
-        with open(a.partial, "w") as f:
-            json.dump(partial, f, indent=1, default=float)
         if name == "RGB+XOLP+normals":
             f32_tbl = table
             bf16_tbl = bf16_eval(trainer, cfg, val_scenes, log)
+            bf16_delta = []
             for sl in ("all", "objects", "glass"):
                 for m in ("abs_rel", "rmse", "a1"):
                     if sl in f32_tbl and sl in bf16_tbl:
                         bf16_delta.append((sl, m, f32_tbl[sl][m],
                                            bf16_tbl[sl][m]))
+            partial["__bf16_delta__"] = bf16_delta
+        with open(a.partial, "w") as f:
+            json.dump(partial, f, indent=1, default=float)
         del trainer
 
     meta = dict(n_train=a.train_scenes, n_val=a.val_scenes, frames=a.frames,
