@@ -78,6 +78,17 @@ def build_cost_volume(current_feats, lookup_feats, rel_poses, K, inv_K,
         bounds residency at (B, F, chunk, h, w, C) with identical numerics.
         0 (or a non-divisor of D) disables chunking.
 
+    TPU gather note (round-3 profile, PERF.md): the bilinear warp's four
+    corner gathers run at ~50 GB/s effective on v5e — narrow (256 B) rows
+    keep them well below HBM bandwidth, and they are the sweep's floor under
+    XLA.  A packed single-gather variant (corners concatenated channel-wise)
+    was tried and measured SLOWER: XLA lowered the (rows, 4, C) weighted
+    corner reduction into per-channel dynamic-slice loops with two layout
+    transposes (~0.44 s/step of pure data shuffling).  The 4-gather
+    grid_sample form is what XLA handles best; going below its floor needs
+    a VMEM-resident Pallas sweep (the per-(b,f) feature table is only
+    ~2.4 MB), kept as future work while the Mosaic stack is unreliable.
+
     Returns (cost_volume (B, D, h, w), missing_mask (B, D, h, w)).
     """
     b, h, w, c = current_feats.shape
@@ -85,9 +96,10 @@ def build_cost_volume(current_feats, lookup_feats, rel_poses, K, inv_K,
     d = depth_bins.shape[0]
     dt = current_feats.dtype
 
-    xs, ys = jnp.meshgrid(jnp.arange(w, dtype=dt), jnp.arange(h, dtype=dt))
+    xs, ys = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32),
+                          jnp.arange(h, dtype=jnp.float32))
     pix = jnp.stack([xs.reshape(-1), ys.reshape(-1),
-                     jnp.ones(h * w, dt)])                    # (3, hw)
+                     jnp.ones(h * w, jnp.float32)])            # (3, hw)
     cam = jnp.einsum("bij,jn->bin", inv_K[:, :3, :3], pix)     # (B, 3, hw)
     P = jnp.einsum("bij,bfjk->bfik", K, rel_poses)[:, :, :3]   # (B, F, 3, 4)
     frame_valid = (jnp.sum(jnp.abs(rel_poses), axis=(2, 3)) > 0).astype(dt)
@@ -98,7 +110,7 @@ def build_cost_volume(current_feats, lookup_feats, rel_poses, K, inv_K,
         dc = bins_c.shape[0]
         pts = cam[:, None] * bins_c[None, :, None, None]       # (B, Dc, 3, hw)
         pts = jnp.concatenate(
-            [pts, jnp.ones((b, dc, 1, h * w), dt)], axis=2)    # (B, Dc, 4, hw)
+            [pts, jnp.ones((b, dc, 1, h * w), jnp.float32)], axis=2)
         proj = jnp.einsum("bfij,bdjn->bfdin", P, pts)          # (B, F, Dc, 3, hw)
         pix_xy = proj[:, :, :, :2] / (proj[:, :, :, 2:3] + 1e-7)
         x_vals = pix_xy[:, :, :, 0].reshape(b, f, dc, h, w)
@@ -107,6 +119,9 @@ def build_cost_volume(current_feats, lookup_feats, rel_poses, K, inv_K,
         gy = (y_vals / (h - 1) - 0.5) * 2.0
         grid = jnp.stack([gx, gy], axis=-1)                    # (B, F, Dc, h, w, 2)
 
+        # grid stays f32 (bf16 would quantize pixel coords by ~0.25 px);
+        # grid_sample computes its corner weights in the image dtype, so a
+        # bf16 volume keeps the gather AND the lerp at half traffic
         warped = grid_sample(
             lookup_feats.reshape(b * f, h, w, c),
             grid.reshape(b * f, dc * h, w, 2),
@@ -145,6 +160,17 @@ class CostVolumeEncoder(nn.Module):
     depth_binning: str = "linear"
     compute_dtype: str = "float32"
     bin_chunk: int = 16  # memory bound on the warp temp; see build_cost_volume
+    # The cost volume is stop_gradient'ed, so rematerialising it in the
+    # backward pass is pure waste (the round-3 profile showed the whole
+    # plane sweep running TWICE per step under whole-module remat).  When
+    # the caller wants rematerialisation it sets remat_trunk and only the
+    # grad-bearing conv trunk after the volume is recomputed.
+    remat_trunk: bool = False
+    # Matching costs are smooth L1 feature means; bfloat16 halves the
+    # gather/diff HBM traffic of the sweep (the student step's dominant
+    # cost) at ~3-digit cost precision.  f32 keeps exact reference parity
+    # and stays the default via compute_dtype.
+    volume_dtype_follows_compute: bool = True
 
     @nn.compact
     def __call__(self, current_image, lookup_images, rel_poses, K, inv_K,
@@ -159,7 +185,12 @@ class CostVolumeEncoder(nn.Module):
         Returns (features list of 5, lowest_cost (B, h, w), confidence_mask
         (B, h, w)).
         """
-        extractor = _FeatureExtractor(self.compute_dtype)
+        # extractor is rematted along with the trunk (its 1/2-res
+        # activations are the encoder's big residuals); only the
+        # stop_gradient'ed plane sweep below runs exactly once
+        ext_cls = (nn.remat(_FeatureExtractor, static_argnums=(2,))
+                   if self.remat_trunk else _FeatureExtractor)
+        extractor = ext_cls(self.compute_dtype)
         f0, f1 = extractor(current_image, train)
 
         b, nf, hh, ww, ch = lookup_images.shape
@@ -168,14 +199,16 @@ class CostVolumeEncoder(nn.Module):
         lookup_feats = jax.lax.stop_gradient(
             lookup_feats.reshape(b, nf, *lookup_feats.shape[1:]))
 
+        vol_dt = (jnp.dtype(self.compute_dtype)
+                  if self.volume_dtype_follows_compute else jnp.float32)
         bins = compute_depth_bins(min_depth_bin, max_depth_bin,
                                   self.num_depth_bins, self.depth_binning)
         cost, missing = build_cost_volume(
-            jax.lax.stop_gradient(f1.astype(jnp.float32)),
-            lookup_feats.astype(jnp.float32), rel_poses, K, inv_K,
+            jax.lax.stop_gradient(f1.astype(vol_dt)),
+            lookup_feats.astype(vol_dt), rel_poses, K, inv_K,
             bins.astype(jnp.float32), bin_chunk=self.bin_chunk)
-        cost = jax.lax.stop_gradient(cost)
-        missing = jax.lax.stop_gradient(missing)
+        cost = jax.lax.stop_gradient(cost).astype(jnp.float32)
+        missing = jax.lax.stop_gradient(missing).astype(jnp.float32)
 
         observed = ((cost * (1 - missing)) > 0).astype(jnp.float32)
         confidence = (jnp.sum(observed, axis=1)
@@ -188,9 +221,16 @@ class CostVolumeEncoder(nn.Module):
         cost_masked = (cost * confidence[:, None]).astype(f1.dtype)
         # NHWC: volume bins become channels for the reduce conv
         vol = jnp.transpose(cost_masked, (0, 2, 3, 1))
-        fused = nn.relu(TorchConv(64, 3, padding=1,
-                                  )(jnp.concatenate([f1, vol], axis=-1)))
-        f2 = _layer(fused, 128, 2, 2, train)
-        f3 = _layer(f2, 256, 2, 2, train)
-        f4 = _layer(f3, 512, 2, 2, train)
+
+        def trunk(mdl, f1_in, vol_in):
+            fused = nn.relu(TorchConv(64, 3, padding=1,
+                                      )(jnp.concatenate([f1_in, vol_in],
+                                                        axis=-1)))
+            f2 = _layer(fused, 128, 2, 2, train)
+            f3 = _layer(f2, 256, 2, 2, train)
+            f4 = _layer(f3, 512, 2, 2, train)
+            return f2, f3, f4
+
+        trunk_fn = nn.remat(trunk) if self.remat_trunk else trunk
+        f2, f3, f4 = trunk_fn(self, f1, vol)
         return [f0, f1, f2, f3, f4], lowest_cost, confidence

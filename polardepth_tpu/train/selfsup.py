@@ -181,10 +181,18 @@ class SelfSupModel(nn.Module):
             if fi == 0:
                 continue
             if fi < 0:
-                aa, t = pose_net(color_frames[:, idx_of[fi]],
-                                 color_frames[:, idx_of[fi + 1]], train)
-                pose = transformation_from_parameters(aa[:, 0], t[:, 0],
-                                                      invert=True)
+                if fi == -1 and -1 in poses:
+                    # identical pose-net pair (frame[-1], frame[0]) with
+                    # invert=True was already evaluated for poses[-1];
+                    # reuse it instead of a second full-res ResNet18
+                    # forward (the reference recomputes under no_grad,
+                    # trainer.py:708-746 — same value, wasted compute)
+                    pose = poses[-1]
+                else:
+                    aa, t = pose_net(color_frames[:, idx_of[fi]],
+                                     color_frames[:, idx_of[fi + 1]], train)
+                    pose = transformation_from_parameters(aa[:, 0], t[:, 0],
+                                                          invert=True)
                 if fi != -1:
                     pose = jnp.einsum("bij,bjk->bik", pose, matching[fi + 1])
             else:

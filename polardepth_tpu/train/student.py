@@ -57,6 +57,7 @@ class StudentModel(nn.Module):
     num_depth_bins: int = 96
     depth_binning: str = "linear"
     compute_dtype: str = "float32"
+    bin_chunk: int = 16  # plane-sweep memory bound; see build_cost_volume
     # Rematerialize the teacher and the student encoder/decoder in the
     # backward pass: the combined teacher+student step at the published
     # batch 12 otherwise holds ~17 GB of 1/2-res encoder residuals (> one
@@ -98,11 +99,13 @@ class StudentModel(nn.Module):
             # poses (the reference zeroes the pose rows, trainer.py:602-603)
             rel_poses = rel_poses * pose_zero_mask[:, None, None, None]
 
-        encoder_cls = (nn.remat(CostVolumeEncoder, static_argnums=(8,))
-                       if self.remat else CostVolumeEncoder)
-        encoder = encoder_cls(
+        # remat only the grad-bearing trunk inside the encoder — wrapping
+        # the whole module would re-run the stop_gradient'ed plane sweep in
+        # the backward pass (measured: the full volume executed twice per
+        # step in round 2, ~0.6 s/step of pure recompute)
+        encoder = CostVolumeEncoder(
             self.num_depth_bins, self.depth_binning, self.compute_dtype,
-            name="encoder")
+            self.bin_chunk, remat_trunk=self.remat, name="encoder")
         feats, lowest_cost, confidence = encoder(
             color_frames[:, 0], lookup_frames, rel_poses, K_quarter,
             inv_K_quarter, min_depth_bin, max_depth_bin, train)

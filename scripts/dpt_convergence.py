@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""DPT-family convergence demo: overfit DPTDepthModel (scratch vitb16) and
+MidasNet on a few synthetic HAMMER frames until the supervised loss drops
+>= 10x — evidence that the third graph family *trains*, not just executes
+(reference trains DPT via trainer.py:161-167 with the single-scale
+supervised branch, dpt/models.py:26-123).
+
+Writes DPT_DEMO.md with the loss curves and the final/initial ratio.
+
+  python scripts/dpt_convergence.py            # on the TPU
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def overfit(tag, model, cfg, batch, steps, log):
+    import jax
+    import jax.numpy as jnp
+    from polardepth_tpu.train.state import create_train_state
+    from polardepth_tpu.train.dpt_trainer import make_dpt_train_step
+
+    rng = jax.random.PRNGKey(0)
+    example = {"x": jnp.zeros((1, cfg.height, cfg.width, 3), jnp.float32)}
+    state = create_train_state(model, {"params": rng, "dropout": rng},
+                               example, cfg.learning_rate)
+    step = jax.jit(make_dpt_train_step(model, cfg), donate_argnums=(0,))
+    dbatch = jax.device_put(batch)
+    curve = []
+    t0 = time.time()
+    for i in range(steps):
+        state, logs = step(state, dbatch, rng)
+        if i % max(steps // 12, 1) == 0 or i == steps - 1:
+            loss = float(logs["loss"])
+            curve.append((i, loss))
+            log(f"[{tag}] step {i}: loss={loss:.5f}")
+    dt = time.time() - t0
+    return curve, dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--height", type=int, default=160)
+    p.add_argument("--width", type=int, default=224)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--out", default="DPT_DEMO.md")
+    a = p.parse_args()
+
+    import jax
+    from polardepth_tpu.config import Config
+    from polardepth_tpu.models.dpt import DPTDepthModel, MidasNet
+    from polardepth_tpu.data.synthetic import SyntheticHammer
+
+    log = print
+    h, w, b = a.height, a.width, a.batch
+    cfg = Config(height=h, width=w, batch_size=b, train_dpt=True,
+                 learning_rate=3e-4, max_depth=2.0, mesh_shape=(1,))
+
+    gen = SyntheticHammer(h, w, seed=7)
+    full = gen.batch(b)
+    batch = {k: full[k] for k in ("color", "depth", "K")}
+
+    rows = []
+    for tag, model in (
+            ("DPTDepthModel(vitb16, scratch)", DPTDepthModel(
+                backbone="vitb16")),
+            ("MidasNet (ResNeXt101 trunk, scratch)", MidasNet())):
+        curve, dt = overfit(tag, model, cfg, batch, a.steps, log)
+        first = next(v for _, v in curve if np.isfinite(v))
+        last = curve[-1][1]
+        rows.append((tag, curve, first, last, first / max(last, 1e-9), dt))
+
+    dev = str(jax.devices()[0])
+    lines = [
+        "# DPT-family convergence demo",
+        "",
+        f"Overfit on {b} synthetic HAMMER frames at {w}x{h}, Adam "
+        f"{cfg.learning_rate}, {a.steps} steps, scratch init, supervised "
+        f"single-scale loss (the reference's --train_dpt branch, "
+        f"trainer.py:161-167 + 1144-1146).  Hardware: {dev}.",
+        "",
+        "| model | initial loss | final loss | reduction | wall s |",
+        "|---|---|---|---|---|",
+    ]
+    for tag, curve, first, last, ratio, dt in rows:
+        lines.append(f"| {tag} | {first:.4f} | {last:.4f} | "
+                     f"{ratio:.1f}x | {dt:.0f} |")
+    lines += ["", "Loss curves:", ""]
+    for tag, curve, *_ in rows:
+        pts = ", ".join(f"{i}:{v:.4f}" for i, v in curve)
+        lines.append(f"- **{tag}**: {pts}")
+    lines.append("")
+    ok = all(r[4] >= 10.0 for r in rows)
+    lines.append(f"Both graphs train: {'YES' if ok else 'NO'} "
+                 "(>=10x loss reduction target).")
+    with open(a.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    with open("dpt_demo.json", "w") as f:
+        json.dump([{"model": t, "first": fi, "last": la, "ratio": r,
+                    "wall_s": d} for t, _, fi, la, r, d in rows], f, indent=1)
+    log(f"wrote {a.out}; ok={ok}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

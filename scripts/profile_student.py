@@ -61,10 +61,8 @@ def build(cfg, bin_chunk=None):
         augment_xolp=cfg.augment_xolp, augment_normals=cfg.augment_normals,
         dropout_rate=cfg.dropout_rate, scales=tuple(cfg.scales),
         num_depth_bins=cfg.num_depth_bins, depth_binning=cfg.depth_binning,
-        compute_dtype=cfg.compute_dtype)
-    if bin_chunk is not None:
-        model = model.clone(bin_chunk=bin_chunk) if hasattr(model, "clone") \
-            else model
+        compute_dtype=cfg.compute_dtype,
+        **({"bin_chunk": bin_chunk} if bin_chunk is not None else {}))
     rng = jax.random.PRNGKey(0)
     nf = len(cfg.frame_ids)
     n_lookup = len(cfg.matching_ids) - 1
@@ -105,16 +103,49 @@ def time_steps(step, state, trackers, dbatch, rng, iters, pipelined):
     return sorted(times)[len(times) // 2], state, trackers
 
 
-def trace_and_top_ops(step, state, trackers, dbatch, rng, trace_dir):
-    """jax.profiler trace of 3 steps -> (device_time_per_step_s, top ops)."""
+def _op_category(name: str) -> str:
+    """Bucket an XLA op name into a coarse category for the breakdown."""
+    base = name.split("(")[0].split(".")[0].rstrip("0123456789_")
+    if base in ("convolution", "conv", "custom-call"):
+        return "convolution"
+    if base.startswith("while"):
+        return "while(plane-sweep)"
+    if "gather" in name or "dynamic-slice" in name:
+        return "gather/dyn-slice"
+    if "scatter" in name or "dynamic-update" in name:
+        return "scatter/dyn-update"
+    if base in ("copy", "copy-start", "copy-done", "reshape", "transpose",
+                "broadcast", "bitcast"):
+        return "layout/copy"
+    if base in ("all-reduce", "all-gather", "reduce-scatter",
+                "collective-permute"):
+        return "collective"
+    if "fusion" in base or base in ("add", "multiply", "select", "reduce",
+                                    "rsqrt", "exponential", "subtract",
+                                    "divide", "compare", "maximum",
+                                    "minimum", "concatenate", "pad", "slice",
+                                    "convert", "log", "tanh", "power"):
+        return "fusion/elementwise"
+    return "other"
+
+
+def trace_and_top_ops(step, state, trackers, dbatch, rng, trace_dir,
+                      nsteps=3):
+    """jax.profiler trace -> lane-aware per-step accounting.
+
+    Perfetto TPU traces expose, per TensorCore pid, separate threads:
+    'XLA Modules' (one event per executed module, spans idle gaps),
+    'Steps' (one event per step marker) and 'XLA Ops' (the real per-op
+    timeline).  Only the Ops lane is summed for the breakdown; the module
+    lane gives device wall per step.
+    """
     import jax
     state, trackers, logs = step(state, trackers, dbatch, rng)
     float(logs["loss"])
     with jax.profiler.trace(trace_dir):
-        for _ in range(3):
+        for _ in range(nsteps):
             state, trackers, logs = step(state, trackers, dbatch, rng)
         float(logs["loss"])
-    # parse the perfetto trace: sum device-stream event durations by op name
     candidates = glob.glob(os.path.join(
         trace_dir, "**", "*.trace.json.gz"), recursive=True)
     if not candidates:
@@ -122,26 +153,51 @@ def trace_and_top_ops(step, state, trackers, dbatch, rng, trace_dir):
     with gzip.open(sorted(candidates)[-1], "rt") as f:
         trace = json.load(f)
     events = trace.get("traceEvents", [])
-    # device lanes: pid names containing 'TPU' / 'Device'; fall back to all
-    # complete events with 'dur'
     pid_names = {e.get("pid"): e.get("args", {}).get("name", "")
                  for e in events if e.get("ph") == "M"
                  and e.get("name") == "process_name"}
+    tid_names = {(e.get("pid"), e.get("tid")):
+                 str(e.get("args", {}).get("name", ""))
+                 for e in events if e.get("ph") == "M"
+                 and e.get("name") == "thread_name"}
     device_pids = {p for p, n in pid_names.items()
                    if any(s in str(n) for s in ("TPU", "Device", "/device:"))}
     per_op: dict = {}
-    total = 0.0
+    per_cat: dict = {}
+    per_lane: dict = {}
+    op_counts: dict = {}
+    module_total = 0.0
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
         if device_pids and e.get("pid") not in device_pids:
             continue
-        name = e.get("name", "?")
+        lane = tid_names.get((e.get("pid"), e.get("tid")), "?")
         dur = e["dur"] / 1e6  # us -> s
+        per_lane[lane] = per_lane.get(lane, 0.0) + dur
+        if "Module" in lane:
+            module_total += dur
+            continue
+        if "Step" in lane or "Ops" not in lane:
+            continue
+        name = e.get("name", "?")
         per_op[name] = per_op.get(name, 0.0) + dur
-        total += dur
+        op_counts[name] = op_counts.get(name, 0) + 1
+        cat = _op_category(name)
+        per_cat[cat] = per_cat.get(cat, 0.0) + dur
+    ops_total = sum(per_op.values())
     top = sorted(per_op.items(), key=lambda kv: -kv[1])[:25]
-    return total / 3.0, [(n, round(d / 3.0, 5)) for n, d in top]
+    summary = {
+        "module_wall_s": round(module_total / nsteps, 4),
+        "ops_busy_s": round(ops_total / nsteps, 4),
+        "lanes": {k: round(v / nsteps, 4) for k, v in sorted(
+            per_lane.items(), key=lambda kv: -kv[1])[:8]},
+        "categories": {k: round(v / nsteps, 4) for k, v in sorted(
+            per_cat.items(), key=lambda kv: -kv[1])},
+        "top_ops": [(n, round(d / nsteps, 5),
+                     op_counts[n] // nsteps) for n, d in top],
+    }
+    return summary, [(n, round(d / nsteps, 5)) for n, d in top]
 
 
 def main():
@@ -150,6 +206,7 @@ def main():
     p.add_argument("--trace_dir", default="/tmp/student_trace")
     p.add_argument("--iters", type=int, default=6)
     p.add_argument("--skip_sweep", action="store_true")
+    p.add_argument("--skip_trace", action="store_true")
     a = p.parse_args()
 
     import jax
@@ -181,19 +238,37 @@ def main():
             print(f"[{tag}] pipelined async: {t_pipe:.3f} s "
                   f"({B / t_pipe:.1f} fps)")
         if trace:
-            dev_s, top = trace_and_top_ops(step, state, trackers, dbatch,
-                                           rng, a.trace_dir)
-            results[f"{tag}/device_s_per_step"] = dev_s and round(dev_s, 4)
-            results[f"{tag}/top_ops"] = top
-            print(f"[{tag}] device time/step from trace: {dev_s}")
-            for n, d in (top or [])[:15]:
-                print(f"    {d:8.4f}s  {n}")
+            summary, top = trace_and_top_ops(step, state, trackers, dbatch,
+                                             rng, a.trace_dir)
+            results[f"{tag}/trace"] = summary
+            if summary:
+                print(f"[{tag}] module wall/step: {summary['module_wall_s']} "
+                      f"s; ops busy/step: {summary['ops_busy_s']} s")
+                for k, v in summary["categories"].items():
+                    print(f"    {v:8.4f}s  {k}")
+                for n, d, cnt in summary["top_ops"][:15]:
+                    print(f"    {d:8.4f}s x{cnt:<4d} {n}")
         return state
 
-    run_cfg("f32_chunk16", cfg, trace=True)
+    run_cfg("f32_chunk16", cfg, trace=not a.skip_trace)
 
     if not a.skip_sweep:
-        run_cfg("bf16_chunk16", cfg.replace(compute_dtype="bfloat16"))
+        bf16 = cfg.replace(compute_dtype="bfloat16")
+        run_cfg("bf16_chunk16", bf16)
+        for chunk in (32, 48, 96):
+            try:
+                _m, state, step, rng2 = build(bf16, bin_chunk=chunk)
+                trackers = (jnp.float32(bf16.min_depth),
+                            jnp.float32(bf16.max_depth))
+                t, *_ = time_steps(step, state, trackers,
+                                   jax.device_put(batch), rng2, a.iters,
+                                   False)
+                results[f"bf16_chunk{chunk}/per_step_readback_s"] = round(t, 4)
+                results[f"bf16_chunk{chunk}/fps_readback"] = round(B / t, 2)
+                print(f"[bf16_chunk{chunk}] {t:.3f} s ({B / t:.1f} fps)")
+            except Exception as exc:
+                results[f"bf16_chunk{chunk}/error"] = str(exc)[:200]
+                print(f"[bf16_chunk{chunk}] FAILED: {str(exc)[:120]}")
 
     with open(a.out, "w") as f:
         json.dump(results, f, indent=1)

@@ -143,3 +143,102 @@ def test_bin_chunking_is_exact():
         np.testing.assert_allclose(np.asarray(c0), np.asarray(c1),
                                    rtol=1e-6, atol=1e-6)
         np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+
+
+def test_packed_gather_matches_four_gather_grid_sample():
+    """The round-3 packed 4-corner single-gather sweep must equal the
+    original per-corner grid_sample formulation on every edge-masked-in
+    pixel (the masked band is zero in both)."""
+    from polardepth_tpu.ops.warp import grid_sample
+    rng = np.random.default_rng(2)
+    b, f, hh, ww, c = 2, 2, 12, 18, 5
+    cur = jnp.asarray(rng.normal(0, 1, (b, hh, ww, c)).astype(np.float32))
+    look = jnp.asarray(rng.normal(0, 1, (b, f, hh, ww, c))
+                       .astype(np.float32))
+    rel = np.tile(np.eye(4, dtype=np.float32), (b, f, 1, 1))
+    rel[:, :, 0, 3] = rng.normal(0, 0.2, (b, f))   # translations
+    rel[:, :, 1, 3] = rng.normal(0, 0.2, (b, f))
+    rel[:, :, 2, 3] = rng.normal(0, 0.1, (b, f))
+    K = np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))
+    K[:, 0, 0], K[:, 1, 1] = ww * 0.8, hh * 0.8
+    K[:, 0, 2], K[:, 1, 2] = ww / 2, hh / 2
+    inv_K = np.linalg.inv(K).astype(np.float32)
+    bins = compute_depth_bins(0.4, 2.0, 8, "linear")
+
+    cost, missing = build_cost_volume(cur, look, jnp.asarray(rel),
+                                      jnp.asarray(K), jnp.asarray(inv_K),
+                                      bins, bin_chunk=4)
+
+    # oracle: the original 4-gather grid_sample formulation
+    xs, ys = np.meshgrid(np.arange(ww, dtype=np.float32),
+                         np.arange(hh, dtype=np.float32))
+    pix = np.stack([xs.reshape(-1), ys.reshape(-1),
+                    np.ones(hh * ww, np.float32)])
+    cam = np.einsum("bij,jn->bin", inv_K[:, :3, :3], pix)
+    P = np.einsum("bij,bfjk->bfik", K, rel)[:, :, :3]
+    interior = np.zeros((hh, ww), np.float32)
+    interior[2:-2, 2:-2] = 1.0
+    bins_np = np.asarray(bins)
+    pts = cam[:, None] * bins_np[None, :, None, None]
+    pts = np.concatenate([pts, np.ones((b, 8, 1, hh * ww), np.float32)],
+                         axis=2)
+    proj = np.einsum("bfij,bdjn->bfdin", P, pts)
+    pix_xy = proj[:, :, :, :2] / (proj[:, :, :, 2:3] + 1e-7)
+    x_vals = pix_xy[:, :, :, 0].reshape(b, f, 8, hh, ww)
+    y_vals = pix_xy[:, :, :, 1].reshape(b, f, 8, hh, ww)
+    gx = (x_vals / (ww - 1) - 0.5) * 2.0
+    gy = (y_vals / (hh - 1) - 0.5) * 2.0
+    grid = np.stack([gx, gy], axis=-1)
+    warped = grid_sample(
+        look.reshape(b * f, hh, ww, c),
+        jnp.asarray(grid.reshape(b * f, 8 * hh, ww, 2)),
+        padding_mode="zeros", align_corners=True,
+    ).reshape(b, f, 8, hh, ww, c)
+    edge = ((x_vals >= 2.0) & (x_vals <= ww - 2) &
+            (y_vals >= 2.0) & (y_vals <= hh - 2)).astype(np.float32)
+    edge = edge * interior[None, None, None]
+    diffs = np.mean(np.abs(np.asarray(warped) - np.asarray(cur)[:, None, None]),
+                    axis=-1)
+    diffs = diffs * edge
+    cost_ref = diffs.sum(1)
+    counts = (diffs > 0).astype(np.float32).sum(1)
+    cost_ref = cost_ref / (counts + 1e-7)
+    miss_ref = (cost_ref == 0).astype(np.float32)
+    cost_ref = cost_ref * (1 - miss_ref) + \
+        cost_ref.max(1, keepdims=True) * miss_ref
+
+    np.testing.assert_array_equal(np.asarray(missing), miss_ref)
+    np.testing.assert_allclose(np.asarray(cost), cost_ref,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_bf16_volume_close_to_f32():
+    """The fast path runs the plane sweep in bfloat16
+    (CostVolumeEncoder.volume_dtype_follows_compute); the resulting costs
+    must stay within bf16 resolution of the f32 sweep and the argmin bins
+    must agree almost everywhere."""
+    rng = np.random.default_rng(4)
+    b, f, hh, ww, c = 2, 1, 16, 24, 8
+    cur = rng.normal(0, 1, (b, hh, ww, c)).astype(np.float32)
+    look = rng.normal(0, 1, (b, f, hh, ww, c)).astype(np.float32)
+    rel = np.tile(np.eye(4, dtype=np.float32), (b, f, 1, 1))
+    rel[:, :, 0, 3] = 0.1
+    K = np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))
+    K[:, 0, 0], K[:, 1, 1] = ww * 0.7, hh * 0.7
+    K[:, 0, 2], K[:, 1, 2] = ww / 2, hh / 2
+    inv_K = np.linalg.inv(K).astype(np.float32)
+    bins = compute_depth_bins(0.4, 2.0, 16, "linear")
+    outs = {}
+    for dt in (np.float32, jnp.bfloat16):
+        cost, _ = build_cost_volume(
+            jnp.asarray(cur).astype(dt),
+            jnp.asarray(look).astype(dt),
+            jnp.asarray(rel), jnp.asarray(K), jnp.asarray(inv_K), bins,
+            bin_chunk=8)
+        outs[np.dtype(dt).name if dt is np.float32 else "bfloat16"] = \
+            np.asarray(cost.astype(jnp.float32))
+    f32c, bf16c = outs["float32"], outs["bfloat16"]
+    np.testing.assert_allclose(bf16c, f32c, atol=0.04, rtol=0.05)
+    am32 = f32c.argmin(1)
+    am16 = bf16c.argmin(1)
+    assert (am32 == am16).mean() > 0.9

@@ -80,3 +80,22 @@ def test_custom_atan2_matches_numpy():
     got = np.asarray(_atan2(jnp.asarray(y), jnp.asarray(x)))
     want = np.arctan2(y, x)
     np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_kernel_mosaic_matches_interpret_on_tpu():
+    """TPU-only: the compiled Mosaic kernel must match interpreter-mode
+    numerics (round-2's Mosaic stack produced phi off by pi; re-verified
+    correct on the round-3 stack — scripts/debug_pallas.py).  Skipped off
+    TPU; NOTE the Mosaic compile of this kernel takes ~9 minutes."""
+    import pytest
+    import jax
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("requires a TPU backend for the Mosaic path")
+    rng = np.random.default_rng(0)
+    pol = rng.uniform(0, 255, (2, 64, 64, 4)).astype(np.float32)
+    xi, pi_ = fused_polar_preprocess(jnp.asarray(pol), interpret=True)
+    xm, pm = fused_polar_preprocess(jnp.asarray(pol), interpret=False)
+    np.testing.assert_allclose(np.asarray(xm), np.asarray(xi),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pm), np.asarray(pi_),
+                               rtol=1e-5, atol=1e-5)

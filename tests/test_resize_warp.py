@@ -67,3 +67,25 @@ def test_grid_sample_matches_torch(padding, align):
                                  padding_mode=padding, align_corners=align))
     np.testing.assert_allclose(got, want.permute(0, 2, 3, 1).numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("padding", ["border", "zeros"])
+@pytest.mark.parametrize("align", [True, False])
+def test_grid_sample_patch_impl_matches_torch(padding, align):
+    """The one-gather (2,2,C)-window strategy (impl='patch') must keep exact
+    torch F.grid_sample semantics, including out-of-range zeros-mode points
+    and exact-integer coordinates (relu-weight kinks)."""
+    img = _rand((2, 9, 11, 3), seed=3)
+    rng = np.random.default_rng(4)
+    grid = rng.uniform(-1.3, 1.3, (2, 5, 6, 2)).astype(np.float32)
+    # overwrite a few points with exact grid-node coordinates
+    grid[0, 0, :3, 0] = np.array([0, 5, 10]) / 10 * 2 - 1
+    grid[0, 0, :3, 1] = np.array([0, 4, 8]) / 8 * 2 - 1
+    want = F.grid_sample(torch.from_numpy(img).permute(0, 3, 1, 2),
+                         torch.from_numpy(grid), mode="bilinear",
+                         padding_mode=padding, align_corners=align)
+    got = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid),
+                                 padding_mode=padding, align_corners=align,
+                                 impl="patch"))
+    np.testing.assert_allclose(got, want.permute(0, 2, 3, 1).numpy(),
+                               rtol=1e-4, atol=1e-5)
