@@ -97,6 +97,11 @@ class Config:
     avg_reprojection: bool = False
     disable_automasking: bool = False
     v1_multiscale: bool = False
+    # grid_sample gather strategy for the full-res reprojection warps
+    # ("patch" = one (2,2,C)-window lax.gather, measured ~1.65x the
+    # 4-corner flat gathers inside the loss graph on v5e; "flat4" = the
+    # reference-shaped 4-gather form).  Numerics are identical (tested).
+    warp_impl: str = "patch"
 
     # ---- optimization -------------------------------------------------------
     batch_size: int = 12

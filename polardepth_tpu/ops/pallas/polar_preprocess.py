@@ -83,8 +83,11 @@ def _atan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         poly = poly * s + jnp.float32(c)
     r = poly * t                                   # atan(t)
     r = jnp.where(ay > ax, jnp.float32(np.pi / 2) - r, r)
-    r = jnp.where(x < 0, jnp.float32(np.pi) - r, r)
-    return jnp.where(y < 0, -r, r)
+    # signbit, not `< 0`: IEEE atan2(+-0, -0.0) = +-pi
+    r = jnp.where(jnp.signbit(x), jnp.float32(np.pi) - r, r)
+    # r >= 0 here, and IEEE atan2's sign always matches y's INCLUDING
+    # -0.0 (atan2(-0.0, -x) = -pi); `y < 0` misses negative zero.
+    return jnp.copysign(r, y)
 
 
 @functools.lru_cache(maxsize=8)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import jax.numpy as jnp
+from jax import lax
 
 _ANGLES_DEG = np.array([0.0, 45.0, 90.0, 135.0])
 
@@ -55,7 +56,12 @@ def iun_and_xolp(pol: jnp.ndarray):
       phi = AoLP = 0.5*atan2(c, b) in (-pi/2, pi/2].
     """
     pinv = jnp.asarray(_PINV, dtype=pol.dtype)
-    abc = jnp.einsum("...k,ck->...c", pol, pinv)
+    # HIGHEST: TPU's default-precision dot truncates to bf16 multiplies,
+    # which costs ~4e-3 absolute in rho (measured vs an f64 oracle,
+    # scripts/probe_mosaic.py stage 5) and up to 0.4 in the Fresnel
+    # normals it feeds.  The contraction is 4x3 — HIGHEST is free here.
+    abc = jnp.einsum("...k,ck->...c", pol, pinv,
+                     precision=lax.Precision.HIGHEST)
     a, b, c = abc[..., 0], abc[..., 1], abc[..., 2]
     amp = jnp.sqrt(b * b + c * c)
     # rho = (Imax - Imin) / (Imax + Imin) with Imax/min = a +/- amp  ==  amp/a.

@@ -288,6 +288,12 @@ def generate_images_pred(cfg: Config, disps: dict, poses: dict,
     depths = {}
     colors = color_frames.astype(jnp.float32)
     pyr = frames_pyramid(colors, cfg.scales, cfg.v1_multiscale)
+    impl = getattr(cfg, "warp_impl", "flat4")
+    # NOTE round-3 experiment: concatenating the per-scale grids into ONE
+    # gather per frame (4x fewer, 4x larger gathers) forces all four
+    # scales' warp temporaries live at once and OOMs a 16 GB v5e at the
+    # published batch 12 — per-scale warps let XLA schedule them
+    # sequentially.  Kept per-scale.
     for s in cfg.scales:
         disp = disps[("disp", s)]
         if cfg.v1_multiscale:
@@ -309,7 +315,7 @@ def generate_images_pred(cfg: Config, disps: dict, poses: dict,
             grid = project_3d(points, Ks, poses[f], hs, ws)
             warped[("color", f, s)] = grid_sample(
                 src[:, i], grid, padding_mode="border",
-                align_corners=True)
+                align_corners=True, impl=impl)
     return warped, depths
 
 
@@ -436,7 +442,8 @@ def residual_reprojection_loss(cfg: Config, rng: jax.Array, pose_params,
                                                invert=(f < 0))
         grid = project_3d(points, K, T_res, h, w)
         re_warped = grid_sample(src, grid, padding_mode="border",
-                                align_corners=True)
+                                align_corners=True,
+                                impl=getattr(cfg, "warp_impl", "flat4"))
         noise = jax.random.normal(
             jax.random.fold_in(rng, f + 128),  # fold_in needs non-negative
             (color0.shape[0], h, w, 1)) * 1e-5

@@ -101,6 +101,87 @@ def pair2(img, iy, ix):
             + v10 * (1 - lx) * ly + v11 * lx * ly)
 
 
+def strip(img, iy, ix):
+    """Two lane-packed gathers of contiguous (x0,x0+1) channel pairs with the
+    huge N axis MINOR in the output (see ops/warp.py _grid_sample_strip)."""
+    b, h, w, c = img.shape
+    n = iy.shape[1]
+    ix = jnp.clip(ix, 0.0, w - 1)
+    iy = jnp.clip(iy, 0.0, h - 1)
+    padded = jnp.pad(img, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
+    flat = padded.reshape(b, (h + 1) * (w + 1) * c)
+    x0 = jnp.clip(jnp.floor(ix), 0, w - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(iy), 0, h - 1).astype(jnp.int32)
+    start0 = ((y0 * (w + 1) + x0) * c).reshape(b, n, 1)
+    row = (w + 1) * c
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(1,),
+        operand_batching_dims=(0,), start_indices_batching_dims=(0,))
+
+    def g(starts):
+        return lax.gather(flat, starts, dnums, slice_sizes=(1, 2 * c),
+                          mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+    g0, g1 = g(start0), g(start0 + row)                  # (B, 2C, N)
+    fx = (ix.reshape(b, n) - x0.reshape(b, n).astype(ix.dtype))[:, None]
+    fy = (iy.reshape(b, n) - y0.reshape(b, n).astype(iy.dtype))[:, None]
+    wx0 = jnp.maximum(0.0, 1.0 - jnp.abs(fx)).astype(img.dtype)
+    wx1 = jnp.maximum(0.0, 1.0 - jnp.abs(fx - 1.0)).astype(img.dtype)
+    wy0 = jnp.maximum(0.0, 1.0 - jnp.abs(fy)).astype(img.dtype)
+    wy1 = jnp.maximum(0.0, 1.0 - jnp.abs(fy - 1.0)).astype(img.dtype)
+    top = g0[:, :c] * wx0 + g0[:, c:] * wx1
+    bot = g1[:, :c] * wx0 + g1[:, c:] * wx1
+    out = top * wy0 + bot * wy1                          # (B, C, N)
+    return jnp.transpose(out, (0, 2, 1))
+
+
+def make_bandmm(K=16, mm_dtype=jnp.bfloat16):
+    """Gather-free (almost) bilinear warp: per output row, dynamic-slice a
+    K-row vertical band (ONE gather of B*H big contiguous (K,W,C) slices —
+    bandwidth-bound, not index-bound), then do the horizontal interpolation
+    as a one-hot matmul on the MXU and the vertical 2-tap blend as a K-dot.
+
+    EXACT bilinear iff every source y0 for output row r falls in
+    [band_base(r), band_base(r)+K-2] with band_base = row-min of y0.
+    Requires coords pre-clipped (border mode) and N == H*W coherent layout.
+    """
+
+    def bandmm(img, iy, ix):
+        b, h, w, c = img.shape
+        ix = jnp.clip(ix, 0.0, w - 1).reshape(b, h, w)
+        iy = jnp.clip(iy, 0.0, h - 1).reshape(b, h, w)
+        x0 = jnp.clip(jnp.floor(ix), 0, w - 1).astype(jnp.int32)
+        y0 = jnp.clip(jnp.floor(iy), 0, h - 1).astype(jnp.int32)
+        base = jnp.clip(jnp.min(y0, axis=2), 0, max(h - K, 0))  # (B,H)
+        # ONE gather of (K, W, C) row-bands; pad bottom so base+K<=H+pad
+        padded = jnp.pad(img, ((0, 0), (0, K), (0, 1), (0, 0)), mode="edge")
+        dnums = lax.GatherDimensionNumbers(
+            offset_dims=(2, 3, 4), collapsed_slice_dims=(),
+            start_index_map=(1,),
+            operand_batching_dims=(0,), start_indices_batching_dims=(0,))
+        band = lax.gather(
+            padded, base[..., None], dnums, slice_sizes=(1, K, w + 1, c),
+            mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)  # (B,H,K,W+1,C)
+        band = band.astype(mm_dtype)
+        # horizontal one-hot interp as matmul over x (W+1 cols incl. pad)
+        fx = ix - x0.astype(ix.dtype)
+        cols = jnp.arange(w + 1, dtype=jnp.int32)
+        m = ((cols[None, None, None] == x0[..., None]).astype(mm_dtype)
+             * (1.0 - fx[..., None]).astype(mm_dtype)
+             + (cols[None, None, None] == (x0[..., None] + 1)).astype(mm_dtype)
+             * fx[..., None].astype(mm_dtype))            # (B,H,W_out,W+1)
+        t = jnp.einsum("brcx,brkxq->brckq", m, band,
+                       preferred_element_type=jnp.float32)  # (B,H,W,K,C)
+        # vertical 2-tap blend: relu(1-|iy-(base+k)|) over the K taps
+        ks = base[:, :, None, None] + jnp.arange(K)[None, None, None, :]
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(iy[..., None]
+                                            - ks.astype(iy.dtype)))
+        out = jnp.einsum("brck,brckq->brcq", wy.astype(jnp.float32), t)
+        return out.reshape(b, h * w, c)
+
+    return bandmm
+
+
 def bench(fn, img, iy, ix, reps=10):
     f = jax.jit(fn)
     out = f(img, iy, ix)
@@ -129,27 +210,48 @@ def run_case(name, b, h, w, c, n, dtype):
     print(f"--- {name}: img ({b},{h},{w},{c}) {np.dtype(dtype).name}, "
           f"N={n} pts/batch ---")
     ref = None
-    for fname, fn in (("flat4", flat4), ("patch", patch), ("pair2", pair2)):
+    # patch first: it is torch-parity-tested, so it is the numerics oracle
+    # here (flat4 skips weight clipping in this microbench and is wrong at
+    # out-of-range points)
+    variants = [("patch", patch), ("flat4", flat4), ("pair2", pair2),
+                ("strip", strip)]
+    if n == h * w:   # bandmm needs coherent (H,W) output layout
+        variants.append(("bandmm16", make_bandmm(K=16)))
+        variants.append(("bandmm32", make_bandmm(K=32)))
+        variants.append(("bandmm16f32", make_bandmm(K=16, mm_dtype=jnp.float32)))
+        variants.append(("bandmm32f32", make_bandmm(K=32, mm_dtype=jnp.float32)))
+    for fname, fn in variants:
         try:
             t, out = bench(fn, img, iy, ix)
             rows = b * n
-            print(f"  {fname:6s} {t * 1e3:8.2f} ms   "
+            print(f"  {fname:12s} {t * 1e3:8.2f} ms   "
                   f"{rows / t / 1e6:8.1f} M rows/s")
             if ref is None:
-                ref = np.asarray(out, np.float32)
+                ref = np.asarray(out, np.float32).reshape(b, n, c)
             else:
-                err = np.max(np.abs(np.asarray(out, np.float32) - ref))
-                print(f"         max|diff vs flat4| = {err:.2e}")
+                err = np.max(np.abs(np.asarray(out, np.float32
+                                                ).reshape(b, n, c) - ref))
+                print(f"         max|diff vs patch| = {err:.2e}")
         except Exception as exc:
-            print(f"  {fname:6s} FAILED: {str(exc)[:160]}")
+            print(f"  {fname:12s} FAILED: {str(exc)[:160]}")
 
 
 if __name__ == "__main__":
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--case", default="all",
+                    choices=("all", "reproj", "reproj16", "sweep"))
+    args = ap.parse_args()
     print(jax.devices())
-    # full-res reprojection warp shape (one (frame,scale) combo)
-    run_case("reproj f32", 12, 320, 480, 3, 320 * 480, jnp.float32)
-    # all 16 warps batched into one call
-    run_case("reproj x16 f32", 12, 320, 480, 3, 16 * 320 * 480, jnp.float32)
-    # cost-volume chunk (16 bins)
-    run_case("sweep f32", 12, 80, 120, 64, 16 * 80 * 120, jnp.float32)
-    run_case("sweep bf16", 12, 80, 120, 64, 16 * 80 * 120, jnp.bfloat16)
+    if args.case in ("all", "reproj"):
+        # full-res reprojection warp shape (one (frame,scale) combo)
+        run_case("reproj f32", 12, 320, 480, 3, 320 * 480, jnp.float32)
+    if args.case in ("reproj16",):
+        # all 16 warps batched into one call (NOTE: crashes the axon remote
+        # compile service for the lax.gather variants; run explicitly)
+        run_case("reproj x16 f32", 12, 320, 480, 3, 16 * 320 * 480,
+                 jnp.float32)
+    if args.case in ("all", "sweep"):
+        # cost-volume chunk (16 bins)
+        run_case("sweep f32", 12, 80, 120, 64, 16 * 80 * 120, jnp.float32)
+        run_case("sweep bf16", 12, 80, 120, 64, 16 * 80 * 120, jnp.bfloat16)

@@ -207,6 +207,9 @@ def main():
     p.add_argument("--iters", type=int, default=6)
     p.add_argument("--skip_sweep", action="store_true")
     p.add_argument("--skip_trace", action="store_true")
+    p.add_argument("--warp_impl", default="patch",
+                   choices=("flat4", "patch", "strip", "band", "band64",
+                            "band32_bf16", "band64_bf16"))
     a = p.parse_args()
 
     import jax
@@ -217,7 +220,8 @@ def main():
     rngs = np.random.default_rng(0)
     cfg = Config(height=H, width=W, batch_size=B,
                  depth_supervision_only=False, depth_supervision=True,
-                 train_student=True, mesh_shape=(1,))
+                 train_student=True, mesh_shape=(1,),
+                 warp_impl=a.warp_impl)
     batch = make_batch(cfg, rngs)
 
     def run_cfg(tag, cfg, pipelined_too=True, trace=False):

@@ -39,30 +39,25 @@ def main():
     p.add_argument("--trace", action="store_true",
                    help="dump compiled HLO + jax.profiler trace for "
                         "scripts/trace_attribute.py")
-    p.add_argument("--impl", default="flat4", choices=("flat4", "patch"),
+    p.add_argument("--impl", default="flat4",
+                   choices=("flat4", "patch", "strip", "band", "band64",
+                            "band32_bf16", "band64_bf16"),
                    help="grid_sample gather strategy")
     a = p.parse_args()
-    if a.impl != "flat4":
-        import functools
-        import polardepth_tpu.ops.warp as warp_mod
-        import polardepth_tpu.train.selfsup as ss
-        ss.grid_sample = functools.partial(warp_mod.grid_sample, impl=a.impl)
-        print(f"grid_sample impl = {a.impl}", flush=True)
+    import functools
+    import polardepth_tpu.ops.warp as warp_mod
+    import polardepth_tpu.train.selfsup as ss
+    inner = functools.partial(warp_mod.grid_sample, impl=a.impl)
+    ss.grid_sample = inner
     if a.barrier:
-        import polardepth_tpu.ops.warp as warp_mod
-        inner = warp_mod.grid_sample
-
         def barriered(img, grid, padding_mode="border",
                       align_corners=True):
             img, grid = jax.lax.optimization_barrier((img, grid))
             out = inner(img, grid, padding_mode, align_corners)
             return jax.lax.optimization_barrier(out)
 
-        warp_mod.grid_sample = barriered
-        # selfsup imported grid_sample by name; patch its binding too
-        import polardepth_tpu.train.selfsup as ss
         ss.grid_sample = barriered
-        print("barrier variant ON", flush=True)
+    print(f"impl={a.impl} barrier={a.barrier}", flush=True)
 
     cfg = Config(height=H, width=W, batch_size=B,
                  depth_supervision_only=False, depth_supervision=True,

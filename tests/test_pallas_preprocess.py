@@ -77,6 +77,9 @@ def test_custom_atan2_matches_numpy():
     y[0, :4] = [0, 0, 1, -1]
     x[0, :4] = [1, -1, 0, 0]
     y[1, 0] = x[1, 0] = 0.0
+    # IEEE negative-zero octants: atan2(+-0, -x) = +-pi, atan2(-0, +x) = -0
+    y[1, 1:5] = [-0.0, -0.0, 0.0, -0.0]
+    x[1, 1:5] = [-1.0, -0.0, -0.0, 2.0]
     got = np.asarray(_atan2(jnp.asarray(y), jnp.asarray(x)))
     want = np.arctan2(y, x)
     np.testing.assert_allclose(got, want, atol=2e-6)

@@ -69,10 +69,12 @@ def test_grid_sample_matches_torch(padding, align):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("impl", ["patch", "strip"])
 @pytest.mark.parametrize("padding", ["border", "zeros"])
 @pytest.mark.parametrize("align", [True, False])
-def test_grid_sample_patch_impl_matches_torch(padding, align):
-    """The one-gather (2,2,C)-window strategy (impl='patch') must keep exact
+def test_grid_sample_alt_impls_match_torch(impl, padding, align):
+    """The one-gather (2,2,C)-window strategy (impl='patch') and the
+    lane-packed two-strip-gather strategy (impl='strip') must keep exact
     torch F.grid_sample semantics, including out-of-range zeros-mode points
     and exact-integer coordinates (relu-weight kinks)."""
     img = _rand((2, 9, 11, 3), seed=3)
@@ -86,6 +88,71 @@ def test_grid_sample_patch_impl_matches_torch(padding, align):
                          padding_mode=padding, align_corners=align)
     got = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid),
                                  padding_mode=padding, align_corners=align,
-                                 impl="patch"))
+                                 impl=impl))
     np.testing.assert_allclose(got, want.permute(0, 2, 3, 1).numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def _coherent_grid(b, oh, ow, h, w, max_dy, seed, align=True):
+    """Reprojection-like grid: per-pixel offsets whose per-row vertical
+    spread stays within ±max_dy (rotation + depth parallax envelope)."""
+    rng = np.random.default_rng(seed)
+    ys, xs = np.meshgrid(np.arange(oh, dtype=np.float32),
+                         np.arange(ow, dtype=np.float32), indexing="ij")
+    iy = (ys[None] + rng.uniform(-3, 3, (b, 1, 1)).astype(np.float32)
+          + rng.uniform(-max_dy / 2, max_dy / 2,
+                        (b, oh, ow)).astype(np.float32))
+    ix = (xs[None] + rng.uniform(-8, 8, (b, 1, 1)).astype(np.float32)
+          + rng.uniform(-4, 4, (b, oh, ow)).astype(np.float32))
+    if align:
+        gx = ix / (w - 1) * 2 - 1
+        gy = iy / (h - 1) * 2 - 1
+    else:
+        gx = (2 * ix + 1) / w - 1
+        gy = (2 * iy + 1) / h - 1
+    return np.stack([gx, gy], -1).astype(np.float32)
+
+
+@pytest.mark.parametrize("impl,max_dy", [("band8", 5), ("band", 28),
+                                         ("band64", 60)])
+@pytest.mark.parametrize("align", [True, False])
+def test_grid_sample_band_matches_torch_in_envelope(impl, max_dy, align):
+    """impl='band<k>' (banded row-gather + one-hot MXU lerp) is EXACT
+    bilinear whenever each output row's source rows span <= k-2 — the
+    documented envelope for pose/plane warps.  Verified against torch on
+    grids at the envelope edge, including out-of-range border clamping."""
+    img = _rand((2, 64, 48, 3), seed=7)
+    grid = _coherent_grid(2, 64, 48, 64, 48, max_dy, seed=8, align=align)
+    want = F.grid_sample(torch.from_numpy(img).permute(0, 3, 1, 2),
+                         torch.from_numpy(grid), mode="bilinear",
+                         padding_mode="border", align_corners=align)
+    got = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid),
+                                 padding_mode="border", align_corners=align,
+                                 impl=impl))
+    np.testing.assert_allclose(got, want.permute(0, 2, 3, 1).numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_grid_sample_band_out_of_envelope_clamps_vertically():
+    """Beyond the k-row band the banded impl must degrade to a vertical
+    clamp onto the band edge (never zeros / garbage)."""
+    img = _rand((1, 64, 48, 3), seed=9)
+    grid = _coherent_grid(1, 64, 48, 64, 48, max_dy=4, seed=10)
+    # blow the vertical spread past the k=8 band on the bottom half only
+    wide = _coherent_grid(1, 64, 48, 64, 48, max_dy=40, seed=11)
+    grid[:, 32:] = wide[:, 32:]
+    got = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid),
+                                 padding_mode="border", impl="band8"))
+    # every output pixel must be a convex combination of image values
+    assert np.all(got <= img.max() + 1e-5)
+    assert np.all(got >= img.min() - 1e-5)
+    # and in-envelope rows still match the exact impl
+    exact = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid),
+                                   padding_mode="border", impl="patch"))
+    iy = (grid[..., 1] + 1) * 0.5 * 63
+    y0 = np.clip(np.floor(np.clip(iy, 0, 63)), 0, 63)
+    spread = y0.max(axis=2) - y0.min(axis=2)          # (B, OH)
+    ok_rows = spread <= 6                             # k-2 interior
+    assert ok_rows.any(), "fixture must contain in-envelope rows"
+    np.testing.assert_allclose(got[0][ok_rows[0]], exact[0][ok_rows[0]],
                                rtol=1e-4, atol=1e-5)
