@@ -97,10 +97,14 @@ class Config:
     avg_reprojection: bool = False
     disable_automasking: bool = False
     v1_multiscale: bool = False
-    # grid_sample gather strategy for the full-res reprojection warps
-    # ("patch" = one (2,2,C)-window lax.gather, measured ~1.65x the
-    # 4-corner flat gathers inside the loss graph on v5e; "flat4" = the
-    # reference-shaped 4-gather form).  Numerics are identical (tested).
+    # grid_sample strategy for the full-res reprojection warps:
+    #   "patch"  — one (2,2,C)-window lax.gather, ~1.65x the 4-corner flat
+    #              gathers inside the loss graph on v5e (index-rate-bound);
+    #   "flat4"  — the reference-shaped 4-gather form;
+    #   "pallas" — the banded Pallas kernel (ops/pallas/band_warp.py):
+    #              pipelined band DMA + MXU one-hot lerp, custom VJP.
+    # patch/flat4 numerics are identical; pallas is exact within its K-row
+    # vertical-parallax envelope (all tested).
     warp_impl: str = "patch"
 
     # ---- optimization -------------------------------------------------------

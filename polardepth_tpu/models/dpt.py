@@ -162,16 +162,29 @@ class _Block(nn.Module):
 
 
 class _ResidualConvUnit(nn.Module):
-    """relu->conv3x3->relu->conv3x3 + skip (blocks.py:247-316)."""
+    """relu->conv3x3[->BN]->relu->conv3x3[->BN] + skip (blocks.py:247-316).
+
+    use_bn mirrors ResidualConvUnit_custom(bn=True): convs drop their bias
+    and each is followed by BatchNorm (the segmentation model's fusion
+    blocks run with bn=True via DPT(use_bn=True), dpt/models.py:131)."""
 
     features: int = FEATURE_CH
+    use_bn: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         h = nn.relu(x)
-        h = TorchConv(self.features, 3, padding=1, name="conv1")(h)
+        h = TorchConv(self.features, 3, padding=1,
+                      use_bias=not self.use_bn, name="conv1")(h)
+        if self.use_bn:
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32, name="bn1")(h)
         h = nn.relu(h)
-        h = TorchConv(self.features, 3, padding=1, name="conv2")(h)
+        h = TorchConv(self.features, 3, padding=1,
+                      use_bias=not self.use_bn, name="conv2")(h)
+        if self.use_bn:
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32, name="bn2")(h)
         return x + h
 
 
@@ -179,24 +192,121 @@ class _FusionBlock(nn.Module):
     """RefineNet fusion (FeatureFusionBlock_custom, blocks.py:318-383)."""
 
     features: int = FEATURE_CH
+    use_bn: bool = False
 
     @nn.compact
-    def __call__(self, deeper, skip=None):
+    def __call__(self, deeper, skip=None, train: bool = False):
         x = deeper
         if skip is not None:
             # odd grid sizes can make the strided-conv pyramid off-by-one;
             # align the deeper path to the skip's resolution first
             if x.shape[1:3] != skip.shape[1:3]:
                 x = resize_bilinear(x, skip.shape[1:3])
-            x = x + _ResidualConvUnit(self.features,
-                                      name="resConfUnit1")(skip)
-        x = _ResidualConvUnit(self.features, name="resConfUnit2")(x)
+            x = x + _ResidualConvUnit(self.features, self.use_bn,
+                                      name="resConfUnit1")(skip, train)
+        x = _ResidualConvUnit(self.features, self.use_bn,
+                              name="resConfUnit2")(x, train)
         # reference DPT upsamples with bilinear align_corners=True
         # (dpt/blocks.py:378); required for output parity with grafted
         # MiDaS/timm DPT checkpoints
         h, w = x.shape[1:3]
         x = resize_bilinear(x, (2 * h, 2 * w), align_corners=True)
         return TorchConv(self.features, 1, name="out_conv")(x)
+
+
+def _dpt_backbone(m: nn.Module, x: jnp.ndarray, train: bool = False,
+                  use_bn: bool = False) -> jnp.ndarray:
+    """Shared DPT trunk: ViT(+hybrid ResNetV2) encoder, reassemble,
+    RefineNet fusion.  Returns the 1/2-resolution FEATURE_CH map that both
+    the depth head (DPTDepthModel) and the segmentation head
+    (DPTSegmentationModel) consume (reference DPT.forward path_1,
+    dpt/models.py:71-86).  Runs inside the caller's @nn.compact context so
+    submodule names (and thus grafted torch checkpoints) are identical for
+    both heads."""
+    spec = VARIANTS[m.backbone]
+    dim, heads, depth = spec["dim"], spec["heads"], spec["depth"]
+    hooks, reassemble = spec["hooks"], spec["reassemble"]
+    hybrid = m.hybrid or spec["hybrid"]
+    if hybrid and not spec["hybrid"]:
+        reassemble = VARIANTS["vitb_rn50"]["reassemble"]
+    b, H, W, _ = x.shape
+    assert H % 16 == 0 and W % 16 == 0, "DPT needs multiples of 16"
+    gh, gw = H // 16, W // 16
+
+    # DPT input normalization: mean=std=0.5 (dpt/models.py net_w/h)
+    x = ((x - 0.5) / 0.5).astype(m.compute_dtype)
+
+    hybrid_feats = []
+    if hybrid:
+        s0, s1, s2 = ResNetV2Trunk(name="trunk")(x)
+        hybrid_feats = [s0, s1]  # 256@1/4, 512@1/8, used directly
+        # patch_embed.proj is 1x1 on the 1024ch 1/16 stage output
+        tokens = nn.Conv(dim, (1, 1), dtype=s2.dtype,
+                         name="patch_proj")(s2).reshape(b, gh * gw, dim)
+    else:
+        tokens = nn.Conv(dim, (16, 16), strides=(16, 16), dtype=x.dtype,
+                         name="patch_proj")(x).reshape(b, gh * gw, dim)
+
+    cls = m.param("cls_token", nn.initializers.zeros, (1, 1, dim))
+    pos = m.param("pos_embed",
+                  nn.initializers.normal(0.02),
+                  (1, gh * gw + 1, dim))
+    tokens = jnp.concatenate(
+        [jnp.broadcast_to(cls, (b, 1, dim)).astype(tokens.dtype), tokens],
+        axis=1) + pos.astype(tokens.dtype)
+
+    saved = {}
+    n_vit_slots = 2 if hybrid else 4
+    vit_hooks = hooks[-n_vit_slots:]
+    for i in range(depth):
+        tokens = _Block(dim, heads, name=f"block{i}")(tokens)
+        if i in vit_hooks:
+            saved[i] = tokens
+    # (hooks capture block outputs; timm's final LN is not applied to
+    # hooked activations — vit.py:forward_flex)
+
+    feats = []
+    for slot, hk in enumerate(vit_hooks):
+        slot_global = slot + (2 if hybrid else 0)
+        t = saved[hk]
+        spatial = t[:, 1:]
+        readout = t[:, :1]
+        # 'project' readout: concat cls -> linear -> gelu (vit.py:57-91)
+        merged = jnp.concatenate(
+            [spatial, jnp.broadcast_to(readout, spatial.shape)], axis=-1)
+        merged = nn.gelu(nn.Dense(dim, dtype=t.dtype,
+                                  name=f"readout{slot_global}")(merged),
+                         approximate=False)
+        fmap = merged.reshape(b, gh, gw, dim)
+        fmap = TorchConv(reassemble[slot_global], 1,
+                         name=f"reassemble{slot_global}")(fmap)
+        scale = (4, 2, 1, 0)[slot_global]
+        if scale > 1:
+            # learned upsampling: ConvTranspose kxk stride k
+            # (act_postprocess1/2's ConvTranspose2d, vit.py:246-276)
+            fmap = nn.ConvTranspose(
+                reassemble[slot_global], (scale, scale),
+                strides=(scale, scale), dtype=fmap.dtype,
+                name=f"upsample{slot_global}")(fmap)
+        elif scale == 0:
+            fmap = TorchConv(reassemble[3], 3, strides=2, padding=1,
+                             name="downsample3")(fmap)
+        feats.append(fmap)
+    if hybrid:
+        # act_postprocess1/2 are Identity for the hybrid (vit.py:440-446)
+        feats = hybrid_feats + feats
+
+    # scratch.layerN_rn 3x3 convs to the common width (blocks.py:91-117)
+    rn = [TorchConv(FEATURE_CH, 3, padding=1, use_bias=False,
+                    name=f"layer{i + 1}_rn")(f)
+          for i, f in enumerate(feats)]
+
+    # RefineNet fusion, deepest first (models.py:97-103)
+    path = _FusionBlock(use_bn=use_bn, name="refinenet4")(rn[3], train=train)
+    path = _FusionBlock(use_bn=use_bn, name="refinenet3")(path, rn[2], train)
+    path = _FusionBlock(use_bn=use_bn, name="refinenet2")(path, rn[1], train)
+    path = _FusionBlock(use_bn=use_bn, name="refinenet1")(path, rn[0], train)
+    return path  # (B, H/2, W/2, FEATURE_CH)
 
 
 class DPTDepthModel(nn.Module):
@@ -213,89 +323,8 @@ class DPTDepthModel(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        spec = VARIANTS[self.backbone]
-        dim, heads, depth = spec["dim"], spec["heads"], spec["depth"]
-        hooks, reassemble = spec["hooks"], spec["reassemble"]
-        hybrid = self.hybrid or spec["hybrid"]
-        if hybrid and not spec["hybrid"]:
-            reassemble = VARIANTS["vitb_rn50"]["reassemble"]
-        b, H, W, _ = x.shape
-        assert H % 16 == 0 and W % 16 == 0, "DPT needs multiples of 16"
-        gh, gw = H // 16, W // 16
-
-        # DPT input normalization: mean=std=0.5 (dpt/models.py net_w/h)
-        x = ((x - 0.5) / 0.5).astype(self.compute_dtype)
-
-        hybrid_feats = []
-        if hybrid:
-            s0, s1, s2 = ResNetV2Trunk(name="trunk")(x)
-            hybrid_feats = [s0, s1]  # 256@1/4, 512@1/8, used directly
-            # patch_embed.proj is 1x1 on the 1024ch 1/16 stage output
-            tokens = nn.Conv(dim, (1, 1), dtype=s2.dtype,
-                             name="patch_proj")(s2).reshape(b, gh * gw, dim)
-        else:
-            tokens = nn.Conv(dim, (16, 16), strides=(16, 16), dtype=x.dtype,
-                             name="patch_proj")(x).reshape(b, gh * gw, dim)
-
-        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, dim))
-        pos = self.param("pos_embed",
-                         nn.initializers.normal(0.02),
-                         (1, gh * gw + 1, dim))
-        tokens = jnp.concatenate(
-            [jnp.broadcast_to(cls, (b, 1, dim)).astype(tokens.dtype), tokens],
-            axis=1) + pos.astype(tokens.dtype)
-
-        saved = {}
-        n_vit_slots = 2 if hybrid else 4
-        vit_hooks = hooks[-n_vit_slots:]
-        for i in range(depth):
-            tokens = _Block(dim, heads, name=f"block{i}")(tokens)
-            if i in vit_hooks:
-                saved[i] = tokens
-        # (hooks capture block outputs; timm's final LN is not applied to
-        # hooked activations — vit.py:forward_flex)
-
-        feats = []
-        for slot, hk in enumerate(vit_hooks):
-            slot_global = slot + (2 if hybrid else 0)
-            t = saved[hk]
-            spatial = t[:, 1:]
-            readout = t[:, :1]
-            # 'project' readout: concat cls -> linear -> gelu (vit.py:57-91)
-            merged = jnp.concatenate(
-                [spatial, jnp.broadcast_to(readout, spatial.shape)], axis=-1)
-            merged = nn.gelu(nn.Dense(dim, dtype=t.dtype,
-                                      name=f"readout{slot_global}")(merged),
-                             approximate=False)
-            fmap = merged.reshape(b, gh, gw, dim)
-            fmap = TorchConv(reassemble[slot_global], 1,
-                             name=f"reassemble{slot_global}")(fmap)
-            scale = (4, 2, 1, 0)[slot_global]
-            if scale > 1:
-                # learned upsampling: ConvTranspose kxk stride k
-                # (act_postprocess1/2's ConvTranspose2d, vit.py:246-276)
-                fmap = nn.ConvTranspose(
-                    reassemble[slot_global], (scale, scale),
-                    strides=(scale, scale), dtype=fmap.dtype,
-                    name=f"upsample{slot_global}")(fmap)
-            elif scale == 0:
-                fmap = TorchConv(reassemble[3], 3, strides=2, padding=1,
-                                 name="downsample3")(fmap)
-            feats.append(fmap)
-        if hybrid:
-            # act_postprocess1/2 are Identity for the hybrid (vit.py:440-446)
-            feats = hybrid_feats + feats
-
-        # scratch.layerN_rn 3x3 convs to the common width (blocks.py:91-117)
-        rn = [TorchConv(FEATURE_CH, 3, padding=1, use_bias=False,
-                        name=f"layer{i + 1}_rn")(f)
-              for i, f in enumerate(feats)]
-
-        # RefineNet fusion, deepest first (models.py:97-103)
-        path = _FusionBlock(name="refinenet4")(rn[3])
-        path = _FusionBlock(name="refinenet3")(path, rn[2])
-        path = _FusionBlock(name="refinenet2")(path, rn[1])
-        path = _FusionBlock(name="refinenet1")(path, rn[0])  # 1/2 res
+        H, W = x.shape[1:3]
+        path = _dpt_backbone(self, x, train=train)
 
         # head (models.py:DPTDepthModel head Sequential; its Interpolate is
         # bilinear align_corners=True, models.py:101)
@@ -311,6 +340,38 @@ class DPTDepthModel(nn.Module):
         h = TorchConv(1, 1, name="head3", zero_bias=True)(h)
         if self.non_negative:
             h = nn.relu(h)
+        return h.astype(jnp.float32)
+
+
+class DPTSegmentationModel(nn.Module):
+    """DPT with the semantic-segmentation head (dpt/models.py:126-153):
+    BN-enabled fusion blocks (DPT(use_bn=True)) and a
+    conv3x3(no bias)->BN->ReLU->Dropout(0.1)->conv1x1->x2-bilinear head.
+    Input (B, H, W, 3) in [0, 1] -> logits (B, H, W, num_classes).
+
+    The reference also constructs an `auxlayer` head that its forward
+    never calls (models.py:144-151) — dead weight, not instantiated here
+    (same policy as the deepest fusion block's unused resConfUnit1)."""
+
+    num_classes: int = 150
+    backbone: str = "vitb_rn50"
+    hybrid: bool = False
+    compute_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        H, W = x.shape[1:3]
+        path = _dpt_backbone(self, x, train=train, use_bn=True)
+        h = TorchConv(FEATURE_CH, 3, padding=1, use_bias=False,
+                      name="seg_conv1")(path)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32, name="seg_bn")(h)
+        h = nn.relu(h)
+        h = nn.Dropout(0.1, deterministic=not train, name="seg_drop")(h)
+        h = TorchConv(self.num_classes, 1, name="seg_conv2")(h)
+        # head's Interpolate(scale_factor=2, align_corners=True):
+        # 1/2-res path -> full resolution (models.py:139)
+        h = resize_bilinear(h, (H, W), align_corners=True)
         return h.astype(jnp.float32)
 
 

@@ -115,7 +115,7 @@ def _fwd_kernel(base_ref, ix_ref, iy_ref, img_ref, out_ref,
             img_ref.at[bb, pl.ds(start, KC), :], band.at[slot],
             sem.at[slot])
 
-    slot = lax.rem(idx, 2)
+    slot = lax.rem(idx, jnp.int32(2))
 
     @pl.when(first)
     def _():
@@ -149,7 +149,7 @@ def _fwd_kernel(base_ref, ix_ref, iy_ref, img_ref, out_ref,
 
     ci = lax.broadcasted_iota(jnp.int32, (C, KC), 0)
     col = lax.broadcasted_iota(jnp.int32, (C, KC), 1)
-    sel = (lax.rem(col, C) == ci).astype(jnp.float32)
+    sel = (lax.rem(col, jnp.int32(C)) == ci).astype(jnp.float32)
     out_ref[0, 0, :, :] = _dot_onehot(sel, z, fast, interpret)
 
 
@@ -175,7 +175,7 @@ def _bwd_kernel(base_ref, ix_ref, iy_ref, img_ref, g_ref,
             img_ref.at[bb, pl.ds(start, KC), :], band.at[slot],
             sem.at[slot])
 
-    slot = lax.rem(idx, 2)
+    slot = lax.rem(idx, jnp.int32(2))
 
     @pl.when(first)
     def _():
@@ -215,7 +215,7 @@ def _bwd_kernel(base_ref, ix_ref, iy_ref, img_ref, g_ref,
     # expand g over the K groups via a 0/1 selector matmul:
     # gk[k*C+c, j] = g[c, j]  (per-row dynamic indexing is not
     # Mosaic-friendly; the selector runs one trivial MXU pass)
-    selT = (lax.rem(lax.broadcasted_iota(jnp.int32, (KC, C), 0), C)
+    selT = (lax.rem(lax.broadcasted_iota(jnp.int32, (KC, C), 0), jnp.int32(C))
             == lax.broadcasted_iota(jnp.int32, (KC, C), 1)
             ).astype(jnp.float32)
     gk = _dot_onehot(selT, g, fast, interpret)              # (KC, OW)
@@ -279,7 +279,7 @@ def _pallas_fwd(img2, ix, iy, base, dims, fast, interpret):
         in_specs=[
             pl.BlockSpec((1, 1, 1, OW), lambda b, r, base_ref: (b, r, 0, 0)),
             pl.BlockSpec((1, 1, 1, OW), lambda b, r, base_ref: (b, r, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 1, C, OW),
                                lambda b, r, base_ref: (b, r, 0, 0)),
@@ -315,7 +315,7 @@ def _band_bwd(dims, fast, interpret, res, g):
         in_specs=[
             pl.BlockSpec((1, 1, 1, OW), lambda b, r, base_ref: (b, r, 0, 0)),
             pl.BlockSpec((1, 1, 1, OW), lambda b, r, base_ref: (b, r, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, C, OW),
                          lambda b, r, base_ref: (b, r, 0, 0)),
         ],

@@ -1,15 +1,20 @@
 """Fused Pallas kernel: 4 polarizer captures -> XOLP + 9-channel Fresnel
 normal priors, one VMEM-resident pass.
 
-STATUS (round 1, axon-tunneled v5e): kernel semantics are correct in
-interpreter mode (tests/test_pallas_preprocess.py), but the Mosaic path on
-this axon stack is unusable — ~245 s compiles, numerically wrong output
-(errors O(1) where interpret mode matches to 1e-5), and slower execution
-than the XLA compare-matrix path (57 ms vs ~5 ms at 8x512x512).  Killing a
-process mid-Mosaic-compile also wedges the tunneled device for ~45 min.
-The production path is therefore ops/fresnel.py FusedPiecewiseInterp under
-plain XLA (Config.use_pallas=False); this kernel is kept as the reference
-implementation to revisit on a native TPU runtime.
+STATUS (round 3, 2026-08-17): the Mosaic path is now HEALTHY on the
+current toolchain — compiles in seconds and matches interpreter mode
+exactly after two fixes on our side: (a) the atan2 octant unfold uses
+signbit/copysign so IEEE signed zeros take the same branch as
+jnp.arctan2, and (b) comparisons against the XLA path are angle-aware
+(AoLP is physically mod-pi where the Stokes c component crosses zero; the
+two paths' different summation orders legitimately land on different
+branch cuts there).  The round-1 "Mosaic numerically wrong / 245 s
+compiles" verdict was a toolchain-era artifact plus the -0.0 edge; see
+scripts/probe_mosaic.py for the staged evidence.  In fact the kernel is
+MORE accurate than the pre-round-3 XLA path was (its pinv contraction ran
+default-precision bf16 on TPU; fixed in ops/xolp.py with HIGHEST).
+Production default remains Config.use_pallas=False until the kernel also
+wins on speed at production shapes (tracked in PERF.md).
 
 This is the framework's hottest preprocessing chain.  The pure-jnp
 implementation materialises the (pixels x knots) compare matrix in HBM

@@ -37,6 +37,18 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
         return _grid_sample_patch(img, grid, padding_mode, align_corners)
     if impl == "strip":
         return _grid_sample_strip(img, grid, padding_mode, align_corners)
+    if impl.startswith("pallas"):
+        # "pallas" | "pallas16" | "pallas32_fast": the banded Pallas kernel
+        # (border mode, row-coherent grids; see ops/pallas/band_warp.py).
+        from polardepth_tpu.ops.pallas.band_warp import band_warp
+        if padding_mode != "border":
+            raise ValueError("impl='pallas*' supports padding_mode='border'")
+        spec = impl[len("pallas"):]
+        fast = spec.endswith("_fast")
+        spec = spec.removesuffix("_fast")
+        k = int(spec) if spec else 32
+        return band_warp(img, grid, k=k, align_corners=align_corners,
+                         fast=fast)
     if impl.startswith("band"):
         # "band" | "band64" | "band32_bf16" ...
         spec = impl[4:]
