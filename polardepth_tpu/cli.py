@@ -118,6 +118,12 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                    default=d.supervise_pose)
     p.add_argument("--res_pose", action="store_true", default=d.res_pose)
     p.add_argument("--use_pallas", action="store_true", default=d.use_pallas)
+    p.add_argument("--warp_impl", type=str, default=d.warp_impl,
+                   help="full-res reprojection sampler: patch | flat4 | "
+                        "pallas[<K>][_fast] (see config.py)")
+    p.add_argument("--cv_warp_impl", type=str, default=d.cv_warp_impl,
+                   help="plane-sweep sampler: xla | pallas[<K>][_fast] "
+                        "(see models/cost_volume.py)")
     p.add_argument("--fast_decoder", action="store_true",
                    default=d.fast_decoder)
     p.add_argument("--enable_12channels", action="store_true",
@@ -490,7 +496,8 @@ def _train_alternative_path(cfg: Config, a, writer) -> int:
             dropout_rate=cfg.dropout_rate, scales=tuple(cfg.scales),
             num_depth_bins=cfg.num_depth_bins,
             depth_binning=cfg.depth_binning,
-            compute_dtype=cfg.compute_dtype)
+            compute_dtype=cfg.compute_dtype,
+            cv_warp_impl=cfg.cv_warp_impl)
         data_fn, spe = _make_multiframe_data(cfg, a, "train")
         eval_fn, _ = _make_multiframe_data(
             cfg, a, "val" if not a.synthetic else "train")

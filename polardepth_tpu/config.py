@@ -106,6 +106,12 @@ class Config:
     # patch/flat4 numerics are identical; pallas is exact within its K-row
     # vertical-parallax envelope (all tested).
     warp_impl: str = "patch"
+    # plane-sweep (cost volume) sampler: "xla" = 4-corner gather (reference
+    # numerics), "pallas"/"pallas<K>"/"..._fast" = banded Pallas warp —
+    # identical on every unmasked pixel (the sweep's 2 px interior mask
+    # covers the padding-mode difference; tested).  Sweep is
+    # stop_gradient'ed, so this is forward-only.
+    cv_warp_impl: str = "xla"
 
     # ---- optimization -------------------------------------------------------
     batch_size: int = 12

@@ -62,7 +62,8 @@ class _FeatureExtractor(nn.Module):
 
 
 def build_cost_volume(current_feats, lookup_feats, rel_poses, K, inv_K,
-                      depth_bins, bin_chunk: int = 16):
+                      depth_bins, bin_chunk: int = 16,
+                      warp_impl: str = "xla"):
     """Vectorised plane-sweep matching.
 
     Args:
@@ -77,6 +78,14 @@ def build_cost_volume(current_feats, lookup_feats, rel_poses, K, inv_K,
         the full student step; per-bin costs are independent, so chunking
         bounds residency at (B, F, chunk, h, w, C) with identical numerics.
         0 (or a non-divisor of D) disables chunking.
+      warp_impl: "xla" = the 4-corner grid_sample gather (exact reference
+        numerics); "pallas" | "pallas<K>" | suffix "_fast" = the banded
+        Pallas warp (ops/pallas/band_warp.py, default K=8 source rows per
+        band).  Border-vs-zeros padding is immaterial here: the 2 px `edge`
+        interior mask below zeroes every pixel whose sample could touch the
+        image border, so both paddings agree on all surviving pixels (the
+        equivalence is test-asserted).  The whole sweep is stop_gradient'ed,
+        so the kernel's grid-only VJP is never taken.
 
     TPU gather note (round-3 profile, PERF.md): the bilinear warp's four
     corner gathers run at ~50 GB/s effective on v5e — narrow (256 B) rows
@@ -122,11 +131,23 @@ def build_cost_volume(current_feats, lookup_feats, rel_poses, K, inv_K,
         # grid stays f32 (bf16 would quantize pixel coords by ~0.25 px);
         # grid_sample computes its corner weights in the image dtype, so a
         # bf16 volume keeps the gather AND the lerp at half traffic
-        warped = grid_sample(
-            lookup_feats.reshape(b * f, h, w, c),
-            grid.reshape(b * f, dc * h, w, 2),
-            padding_mode="zeros", align_corners=True,
-        ).reshape(b, f, dc, h, w, c)
+        if warp_impl.startswith("pallas"):
+            from polardepth_tpu.ops.pallas.band_warp import band_warp
+            spec = warp_impl[len("pallas"):]
+            fast = spec.endswith("_fast")
+            spec = spec.removesuffix("_fast")
+            warped = band_warp(
+                lookup_feats.reshape(b * f, h, w, c),
+                grid.reshape(b * f, dc * h, w, 2),
+                k=int(spec) if spec else 8,
+                align_corners=True, fast=fast,
+            ).reshape(b, f, dc, h, w, c)
+        else:
+            warped = grid_sample(
+                lookup_feats.reshape(b * f, h, w, c),
+                grid.reshape(b * f, dc * h, w, 2),
+                padding_mode="zeros", align_corners=True,
+            ).reshape(b, f, dc, h, w, c)
 
         # edge masking: lookup-image border and current-image border, 2 px
         edge = ((x_vals >= 2.0) & (x_vals <= w - 2) &
@@ -160,6 +181,7 @@ class CostVolumeEncoder(nn.Module):
     depth_binning: str = "linear"
     compute_dtype: str = "float32"
     bin_chunk: int = 16  # memory bound on the warp temp; see build_cost_volume
+    warp_impl: str = "xla"  # plane-sweep sampler; see build_cost_volume
     # The cost volume is stop_gradient'ed, so rematerialising it in the
     # backward pass is pure waste (the round-3 profile showed the whole
     # plane sweep running TWICE per step under whole-module remat).  When
@@ -206,7 +228,8 @@ class CostVolumeEncoder(nn.Module):
         cost, missing = build_cost_volume(
             jax.lax.stop_gradient(f1.astype(vol_dt)),
             lookup_feats.astype(vol_dt), rel_poses, K, inv_K,
-            bins.astype(jnp.float32), bin_chunk=self.bin_chunk)
+            bins.astype(jnp.float32), bin_chunk=self.bin_chunk,
+            warp_impl=self.warp_impl)
         cost = jax.lax.stop_gradient(cost).astype(jnp.float32)
         missing = jax.lax.stop_gradient(missing).astype(jnp.float32)
 

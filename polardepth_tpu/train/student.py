@@ -58,6 +58,7 @@ class StudentModel(nn.Module):
     depth_binning: str = "linear"
     compute_dtype: str = "float32"
     bin_chunk: int = 16  # plane-sweep memory bound; see build_cost_volume
+    cv_warp_impl: str = "xla"  # plane-sweep sampler; see build_cost_volume
     # Rematerialize the teacher and the student encoder/decoder in the
     # backward pass: the combined teacher+student step at the published
     # batch 12 otherwise holds ~17 GB of 1/2-res encoder residuals (> one
@@ -105,7 +106,8 @@ class StudentModel(nn.Module):
         # step in round 2, ~0.6 s/step of pure recompute)
         encoder = CostVolumeEncoder(
             self.num_depth_bins, self.depth_binning, self.compute_dtype,
-            self.bin_chunk, remat_trunk=self.remat, name="encoder")
+            self.bin_chunk, warp_impl=self.cv_warp_impl,
+            remat_trunk=self.remat, name="encoder")
         feats, lowest_cost, confidence = encoder(
             color_frames[:, 0], lookup_frames, rel_poses, K_quarter,
             inv_K_quarter, min_depth_bin, max_depth_bin, train)

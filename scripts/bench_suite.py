@@ -138,7 +138,8 @@ def measure_student_train(batch=12, h=320, w=480, chain=4, reps=5, **cfg_kw):
         augment_xolp=cfg.augment_xolp, augment_normals=cfg.augment_normals,
         dropout_rate=cfg.dropout_rate, scales=tuple(cfg.scales),
         num_depth_bins=cfg.num_depth_bins, depth_binning=cfg.depth_binning,
-        compute_dtype=cfg.compute_dtype)
+        compute_dtype=cfg.compute_dtype,
+        cv_warp_impl=getattr(cfg, "cv_warp_impl", "xla"))
     rng = jax.random.PRNGKey(0)
     nf = len(cfg.frame_ids)
     n_lookup = len(cfg.matching_ids) - 1
@@ -222,6 +223,11 @@ def main():
     record("train_320x480_bf16_fast", lambda: measure_train(
         compute_dtype="bfloat16", fast_decoder=True))
     record("student_train_320x480_f32", lambda: measure_student_train())
+    record("student_train_320x480_pallas", lambda: measure_student_train(
+        warp_impl="pallas", cv_warp_impl="pallas8"))
+    record("student_train_320x480_pallas_bf16", lambda: measure_student_train(
+        warp_impl="pallas", cv_warp_impl="pallas8_fast",
+        compute_dtype="bfloat16", fast_decoder=True))
     if not a.skip_cpu:
         record("cpu_infer_512_f32", lambda: measure_cpu_baseline())
     print(json.dumps(results, indent=1))

@@ -57,6 +57,10 @@ def main():
     a = p.parse_args()
 
     import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the axon plugin can register even with the env var set; the
+        # config-level pin is the reliable CPU fallback (verify skill notes)
+        jax.config.update("jax_platforms", "cpu")
     from polardepth_tpu.config import Config
     from polardepth_tpu.models.dpt import DPTDepthModel, MidasNet
     from polardepth_tpu.data.synthetic import SyntheticHammer

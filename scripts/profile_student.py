@@ -62,6 +62,7 @@ def build(cfg, bin_chunk=None):
         dropout_rate=cfg.dropout_rate, scales=tuple(cfg.scales),
         num_depth_bins=cfg.num_depth_bins, depth_binning=cfg.depth_binning,
         compute_dtype=cfg.compute_dtype,
+        cv_warp_impl=getattr(cfg, "cv_warp_impl", "xla"),
         **({"bin_chunk": bin_chunk} if bin_chunk is not None else {}))
     rng = jax.random.PRNGKey(0)
     nf = len(cfg.frame_ids)
@@ -208,8 +209,10 @@ def main():
     p.add_argument("--skip_sweep", action="store_true")
     p.add_argument("--skip_trace", action="store_true")
     p.add_argument("--warp_impl", default="patch",
-                   choices=("flat4", "patch", "strip", "band", "band64",
-                            "band32_bf16", "band64_bf16"))
+                   help="flat4 | patch | strip | band[<K>][_bf16] | "
+                        "pallas[<K>][_fast]")
+    p.add_argument("--cv_warp_impl", default="xla",
+                   help="plane-sweep sampler: xla | pallas[<K>][_fast]")
     a = p.parse_args()
 
     import jax
@@ -221,7 +224,7 @@ def main():
     cfg = Config(height=H, width=W, batch_size=B,
                  depth_supervision_only=False, depth_supervision=True,
                  train_student=True, mesh_shape=(1,),
-                 warp_impl=a.warp_impl)
+                 warp_impl=a.warp_impl, cv_warp_impl=a.cv_warp_impl)
     batch = make_batch(cfg, rngs)
 
     def run_cfg(tag, cfg, pipelined_too=True, trace=False):

@@ -138,3 +138,43 @@ def test_mosaic_matches_interpret_on_tpu():
     scale = float(jnp.max(jnp.abs(gi)))
     np.testing.assert_allclose(np.asarray(gm), np.asarray(gi),
                                atol=1e-3 * max(scale, 1.0))
+
+
+def test_cost_volume_pallas_sweep_matches_xla():
+    """build_cost_volume(warp_impl='pallas8') == the XLA 4-corner gather.
+
+    The sweep's 2 px interior mask makes border-vs-zeros padding immaterial
+    (models/cost_volume.py docstring); inside the mask both samplers are
+    exact bilinear, so cost and missing must agree to f32 rounding.
+    """
+    from polardepth_tpu.models.cost_volume import (
+        build_cost_volume, compute_depth_bins)
+
+    r = np.random.default_rng(3)
+    b, f, h, w, c, d = 2, 2, 24, 32, 8, 8
+    cur = jnp.asarray(r.normal(0, 1, (b, h, w, c)), jnp.float32)
+    look = jnp.asarray(r.normal(0, 1, (b, f, h, w, c)), jnp.float32)
+    # small realistic relative poses: a few-degree rotation + cm translation
+    poses = np.tile(np.eye(4, dtype=np.float32), (b, f, 1, 1))
+    for i in range(b):
+        for j in range(f):
+            th = 0.02 * (i + 1) * (-1) ** j
+            poses[i, j, :3, :3] = np.array(
+                [[np.cos(th), -np.sin(th), 0],
+                 [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
+            poses[i, j, :3, 3] = [0.03 * (j + 1), -0.02, 0.01]
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0], K[1, 1], K[0, 2], K[1, 2] = w * 0.9, h * 0.9, w / 2, h / 2
+    Kb = jnp.asarray(np.tile(K, (b, 1, 1)))
+    inv_Kb = jnp.asarray(np.tile(np.linalg.inv(K), (b, 1, 1)))
+    bins = compute_depth_bins(0.5, 2.0, d, "linear")
+
+    cost_x, miss_x = build_cost_volume(cur, look, jnp.asarray(poses), Kb,
+                                       inv_Kb, bins, bin_chunk=4,
+                                       warp_impl="xla")
+    cost_p, miss_p = build_cost_volume(cur, look, jnp.asarray(poses), Kb,
+                                       inv_Kb, bins, bin_chunk=4,
+                                       warp_impl="pallas8")
+    np.testing.assert_allclose(np.asarray(cost_p), np.asarray(cost_x),
+                               atol=3e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(miss_p), np.asarray(miss_x))
