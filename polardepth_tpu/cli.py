@@ -140,7 +140,9 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                         "indoor_dataset.py:302)")
     p.add_argument("--mesh_shape", type=lambda s: tuple(
         int(x) for x in s.split(",")), default=d.mesh_shape,
-        help="device mesh shape, e.g. '-1' (all devices on data axis), '1'")
+        help="device mesh shape: '-1' (all devices data-parallel), '1', or "
+             "'d,s' for a 2-D ('data','spatial') mesh that also splits "
+             "image H s-ways (conv halo exchange is handled by XLA)")
 
 
 def _config_from_args(a) -> Config:
@@ -750,6 +752,15 @@ COMMANDS = {"train": cmd_train, "evaluate": cmd_evaluate,
 
 
 def main(argv=None) -> int:
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # Some TPU plugins (axon) register even with the env var set; the
+        # config-level pin before first backend use is the reliable opt-out
+        # (otherwise a wedged TPU tunnel hangs pure-CPU CLI runs).
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialised by an importer
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0] not in COMMANDS:
         print(__doc__)

@@ -127,7 +127,9 @@ class Config:
 
     # ---- TPU execution ------------------------------------------------------
     compute_dtype: str = "float32"   # "bfloat16" for the fast path
-    mesh_shape: Sequence[int] = (-1,)  # -1: all devices on the 'data' axis
+    # (-1,): all devices data-parallel; (d, s): 2-D ('data', 'spatial') mesh
+    # that additionally splits image H over s-way spatial partitions.
+    mesh_shape: Sequence[int] = (-1,)
     # Fused Pallas preprocessing kernel.  Off by default: on the current
     # axon-tunneled v5e the Mosaic compile of this kernel hangs
     # nondeterministically for some grid sizes (and a killed compile wedges

@@ -29,13 +29,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def create_mesh(shape: Sequence[int] = (-1,),
-                axis_names: Sequence[str] = ("data",),
+                axis_names: Optional[Sequence[str]] = None,
                 devices: Optional[list] = None) -> Mesh:
     """Build a Mesh over the available devices.
 
     shape: per-axis sizes; a single -1 axis absorbs all remaining devices.
-    Default: all devices on one 'data' axis.
+    Default axis names: ('data',) for 1-D, ('data', 'spatial') for 2-D —
+    the trainer's supported layouts (tp.py builds ('data', 'model') meshes
+    explicitly).
     """
+    if axis_names is None:
+        axis_names = ("data", "spatial")[:len(list(shape))] or ("data",)
     devices = devices if devices is not None else jax.devices()
     shape = list(shape)
     known = int(np.prod([s for s in shape if s != -1])) if shape else 1
@@ -55,6 +59,21 @@ def create_mesh(shape: Sequence[int] = (-1,),
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the leading (batch) dimension across the data axis."""
     return NamedSharding(mesh, P(axis))
+
+
+def image_sharding(mesh: Mesh, stacked: bool = False) -> NamedSharding:
+    """Sharding for image-like arrays (B, H, W, C): batch over 'data' and —
+    when the mesh has a 'spatial' axis — H over 'spatial'.
+
+    Spatial partitioning splits every activation H-wise across devices;
+    XLA/GSPMD inserts the conv halo exchanges automatically.  It is the TPU
+    answer to "the batch doesn't divide by the chip count" / "one image's
+    activations blow HBM": scale resolution instead of batch.  `stacked`
+    prepends a replicated leading axis for (N, B, H, W, C) multi-step
+    batches."""
+    spatial = ("spatial",) if "spatial" in mesh.axis_names else ()
+    lead = (None,) if stacked else ()
+    return NamedSharding(mesh, P(*lead, "data", *spatial))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

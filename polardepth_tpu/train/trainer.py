@@ -35,7 +35,8 @@ from polardepth_tpu.eval.evaluation import (
 from polardepth_tpu.models.network import PolarDepthNet
 from polardepth_tpu.ops.depth import disp_to_depth
 from polardepth_tpu.parallel.mesh import (
-    create_mesh, batch_sharding, replicated_sharding, global_batch,
+    create_mesh, batch_sharding, image_sharding, replicated_sharding,
+    global_batch,
 )
 from polardepth_tpu.train.losses import (
     preprocess_batch, supervised_losses, twelve_channel_input, jitter_12ch,
@@ -208,6 +209,7 @@ class Trainer:
         repl = replicated_sharding(self.mesh)
         self.state = jax.device_put(self.state, repl)
         self.batch_sharding = batch_sharding(self.mesh)
+        self.image_sharding = image_sharding(self.mesh)
 
         donate = (0,) if cfg.donate_state else ()
         self._train_step = jax.jit(make_train_step(self.model, cfg),
@@ -225,12 +227,16 @@ class Trainer:
 
     def _shard(self, batch: dict, keys) -> dict:
         """Place a (process-local) batch with the batch dim split over the
-        mesh; assembles the global array from per-process shards on
-        multi-host meshes (parallel/mesh.py:global_batch)."""
+        mesh — and, on a ('data', 'spatial') mesh, image H split over
+        'spatial' (GSPMD inserts the conv halo exchanges); assembles the
+        global array from per-process shards on multi-host meshes
+        (parallel/mesh.py:global_batch)."""
         out = {}
         for k in keys:
             if k in batch:
-                out[k] = global_batch(batch[k], self.batch_sharding)
+                sh = (self.image_sharding if batch[k].ndim >= 4
+                      else self.batch_sharding)
+                out[k] = global_batch(batch[k], sh)
         return out
 
     # -- public API -----------------------------------------------------------
@@ -295,10 +301,13 @@ class Trainer:
         return logs
 
     def _shard_stacked(self, stacked: dict) -> dict:
-        """Place (N, B, ...) stacked batches with B split over the mesh."""
+        """Place (N, B, ...) stacked batches with B split over the mesh
+        (and H over 'spatial' where the mesh has that axis)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
         sh = NamedSharding(self.mesh, P(None, "data"))
-        return {k: global_batch(v, sh) for k, v in stacked.items()}
+        ish = image_sharding(self.mesh, stacked=True)
+        return {k: global_batch(v, ish if v.ndim >= 5 else sh)
+                for k, v in stacked.items()}
 
     def evaluate(self, batches: Iterable[dict],
                  batches_per_call: int = 1) -> dict:
