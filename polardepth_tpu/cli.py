@@ -75,6 +75,10 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                    default=d.train_student)
     p.add_argument("--train_dpt", action="store_true", default=d.train_dpt)
     p.add_argument("--midas", action="store_true", default=False)
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="Megatron tensor-parallel degree for the DPT/ViT "
+                        "family over a ('data','model') mesh "
+                        "(parallel/tp.py); must divide the head count")
     p.add_argument("--dpt_backbone", type=str, default=d.dpt_backbone,
                    choices=("vitb_rn50", "vitb16", "vitl16"))
     p.add_argument("--dpt_weights_path", type=str,
@@ -477,7 +481,20 @@ def _train_alternative_path(cfg: Config, a, writer) -> int:
                 print("weights_init=pretrained for the DPT/MiDaS family "
                       "needs --dpt_weights_path (scripts/convert_torch_dpt"
                       ".py); continuing from scratch")
-        alt = AltTrainer(cfg, state, jax.jit(make_dpt_train_step(model, cfg)),
+        if a.tensor_parallel > 1:
+            if a.midas:
+                raise ValueError("--tensor_parallel shards ViT blocks; "
+                                 "MidasNet has no transformer trunk")
+            from polardepth_tpu.models.dpt import VARIANTS
+            from polardepth_tpu.parallel import tp as tp_mod
+            spec = VARIANTS[cfg.dpt_backbone]
+            tp_mod.validate_tp(spec["dim"], spec["heads"], a.tensor_parallel)
+            tmesh = tp_mod.create_tp_mesh(-1, a.tensor_parallel)
+            state, sh = tp_mod.shard_train_state(state, tmesh)
+            step = tp_mod.make_tp_train_step(model, cfg, tmesh, sh)
+        else:
+            step = jax.jit(make_dpt_train_step(model, cfg))
+        alt = AltTrainer(cfg, state, step,
                          jax.jit(make_dpt_infer_step(model, cfg)), rng)
         alt.fit(data_fn, eval_fn, cfg.num_epochs, ckpt_dir, writer, spe)
         return 0
