@@ -672,16 +672,34 @@ def cmd_export(argv) -> int:
                    help="comma list, e.g. 'tpu,cpu'; default = current")
     a = p.parse_args(argv)
     cfg = _config_from_args(a)
-    from polardepth_tpu.train.trainer import Trainer
     from polardepth_tpu.train import checkpoint as ckpt
     from polardepth_tpu.eval.export import make_export, save_artifact
 
-    trainer = Trainer(cfg, steps_per_epoch=1)
-    if a.weights:
-        trainer.state = ckpt.restore(a.weights, trainer.state)
+    if cfg.train_dpt:
+        import jax
+        import jax.numpy as jnp
+        from polardepth_tpu.models.dpt import DPTDepthModel, MidasNet
+        from polardepth_tpu.train.state import create_train_state
+
+        model = (MidasNet() if a.midas
+                 else DPTDepthModel(backbone=cfg.dpt_backbone))
+        rng = jax.random.PRNGKey(cfg.seed)
+        example = {"x": jnp.zeros((1, cfg.height, cfg.width, 3),
+                                  jnp.float32)}
+        state = create_train_state(model, {"params": rng, "dropout": rng},
+                                   example, cfg.learning_rate)
+        if a.weights:
+            state = ckpt.restore(a.weights, state)
+    else:
+        from polardepth_tpu.train.trainer import Trainer
+
+        trainer = Trainer(cfg, steps_per_epoch=1)
+        if a.weights:
+            trainer.state = ckpt.restore(a.weights, trainer.state)
+        state = trainer.state
     platforms = tuple(a.platforms.split(",")) if a.platforms else None
-    exp = make_export(cfg, trainer.state, batch=a.batch or None,
-                      platforms=platforms)
+    exp = make_export(cfg, state, batch=a.batch or None,
+                      platforms=platforms, midas=a.midas)
     save_artifact(exp, a.out, cfg)
     print(f"wrote {a.out} (+.json) — inputs {[str(s) for s in exp.in_avals]}"
           f" platforms {list(exp.platforms)}")

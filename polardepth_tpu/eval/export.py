@@ -29,17 +29,30 @@ from polardepth_tpu.config import Config
 
 
 def make_export(cfg: Config, state, batch: int | None = None,
-                platforms=None):
+                platforms=None, midas: bool = False):
     """Export the jitted infer step.  batch=None -> symbolic batch dim.
 
-    Returns a jax.export.Exported; .serialize() gives portable bytes."""
-    from polardepth_tpu.train.trainer import build_model, make_infer_step
+    cfg.train_dpt exports the DPT/MiDaS graph instead of the flagship
+    (midas=True picks MidasNet over DPTDepthModel).
 
-    model = build_model(cfg)
-    infer = make_infer_step(model, cfg)
-    needs_pol = cfg.augment_xolp or cfg.augment_normals
+    Returns a jax.export.Exported; .serialize() gives portable bytes."""
     h, w = cfg.height, cfg.width
-    in_ch = 12 if cfg.enable_12channels else 3
+    if cfg.train_dpt:
+        from polardepth_tpu.models.dpt import DPTDepthModel, MidasNet
+        from polardepth_tpu.train.dpt_trainer import make_dpt_infer_step
+
+        model = (MidasNet() if midas
+                 else DPTDepthModel(backbone=cfg.dpt_backbone))
+        infer = make_dpt_infer_step(model, cfg)
+        needs_pol = False
+        in_ch = 3
+    else:
+        from polardepth_tpu.train.trainer import build_model, make_infer_step
+
+        model = build_model(cfg)
+        infer = make_infer_step(model, cfg)
+        needs_pol = cfg.augment_xolp or cfg.augment_normals
+        in_ch = 12 if cfg.enable_12channels else 3
 
     # close over the weights: the artifact is self-contained
     frozen = {"params": state.params, "batch_stats": state.batch_stats}

@@ -60,6 +60,11 @@ def main():
     p.add_argument("--width", type=int, default=224)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--models", default="dpt,midas",
+                   help="comma subset of {dpt, midas}; rows for models not "
+                        "in this run are merged from a prior dpt_demo.json "
+                        "(CPU fallback: MidasNet steps are minutes each at "
+                        "full demo size on the 1-core box)")
     p.add_argument("--out", default="DPT_DEMO.md")
     a = p.parse_args()
 
@@ -81,12 +86,25 @@ def main():
     full = gen.batch(b)
     batch = {k: full[k] for k in ("color", "depth", "K")}
 
+    wanted = set(a.models.split(","))
+    zoo = {"dpt": ("DPTDepthModel(vitb16, scratch)",
+                   lambda: DPTDepthModel(backbone="vitb16")),
+           "midas": ("MidasNet (ResNeXt101 trunk, scratch)",
+                     lambda: MidasNet())}
+    prior = {}
+    if os.path.exists("dpt_demo.json"):
+        with open("dpt_demo.json") as f:
+            prior = {r["model"]: r for r in json.load(f)}
+
     rows = []
-    for tag, model in (
-            ("DPTDepthModel(vitb16, scratch)", DPTDepthModel(
-                backbone="vitb16")),
-            ("MidasNet (ResNeXt101 trunk, scratch)", MidasNet())):
-        curve, dt = overfit(tag, model, cfg, batch, a.steps, log)
+    for key, (tag, make) in zoo.items():
+        if key not in wanted:
+            if tag in prior:   # merge the earlier run's row
+                r = prior[tag]
+                rows.append((r["model"], r.get("curve", []), r["first"],
+                             r["last"], r["ratio"], r["wall_s"]))
+            continue
+        curve, dt = overfit(tag, make(), cfg, batch, a.steps, log)
         first = next(d for _, _, d in curve if np.isfinite(d))
         last = curve[-1][2]
         rows.append((tag, curve, first, last, first / max(last, 1e-9), dt))
@@ -121,7 +139,8 @@ def main():
         f.write("\n".join(lines) + "\n")
     with open("dpt_demo.json", "w") as f:
         json.dump([{"model": t, "first": fi, "last": la, "ratio": r,
-                    "wall_s": d} for t, _, fi, la, r, d in rows], f, indent=1)
+                    "wall_s": d, "curve": [list(c) for c in cu]}
+                   for t, cu, fi, la, r, d in rows], f, indent=1)
     log(f"wrote {a.out}; ok={ok}")
     return 0 if ok else 1
 

@@ -62,3 +62,28 @@ def test_export_rgb_only_graph(tmp_path):
     out = np.asarray(loaded.call(color, None))
     assert out.shape == (2, H, W, 1)
     assert np.isfinite(out).all()
+
+
+def test_export_dpt_graph(tmp_path):
+    """cfg.train_dpt exports the DPT depth graph (uint8 color -> clipped
+    depth) with the same round-trip guarantees as the flagship."""
+    cfg = Config(height=H, width=W, batch_size=2, dropout_rate=0.0,
+                 train_dpt=True, max_depth=2.0, dpt_backbone="vitb16")
+    from polardepth_tpu.models.dpt import DPTDepthModel
+    from polardepth_tpu.train.dpt_trainer import make_dpt_infer_step
+
+    model = DPTDepthModel(backbone="vitb16")
+    rng = jax.random.PRNGKey(3)
+    example = {"x": jnp.zeros((1, H, W, 3), jnp.float32)}
+    state = create_train_state(model, {"params": rng, "dropout": rng},
+                               example, 1e-4)
+    exp = make_export(cfg, state, batch=2)
+    loaded = jax.export.deserialize(exp.serialize())
+    batch = SyntheticHammer(H, W, seed=4).batch(2)
+    got = np.asarray(loaded.call(batch["color"], None))
+    infer = jax.jit(make_dpt_infer_step(model, cfg))
+    want = np.asarray(infer(state, {"color": batch["color"]}))
+    assert got.shape == (2, H, W, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert got.min() >= cfg.min_depth - 1e-6
+    assert got.max() <= cfg.max_depth + 1e-6
