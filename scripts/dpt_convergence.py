@@ -23,7 +23,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def overfit(tag, model, cfg, batch, steps, log):
+def overfit(tag, model, cfg, batch, steps, log, warmup_div=20):
     import jax
     import jax.numpy as jnp
     import optax
@@ -35,7 +35,7 @@ def overfit(tag, model, cfg, batch, steps, log):
     # warmup+cosine: a constant lr oscillates near the end of a scratch-ViT
     # overfit; the schedule is demo-only (the trainer keeps torch StepLR).
     sched = optax.warmup_cosine_decay_schedule(
-        0.0, cfg.learning_rate, max(steps // 20, 1), steps,
+        0.0, cfg.learning_rate, max(steps // warmup_div, 1), steps,
         cfg.learning_rate * 0.01)
     state = create_train_state(model, {"params": rng, "dropout": rng},
                                example, sched)
@@ -66,6 +66,16 @@ def main():
                         "(CPU fallback: MidasNet steps are minutes each at "
                         "full demo size on the 1-core box)")
     p.add_argument("--out", default="DPT_DEMO.md")
+    p.add_argument("--lr", type=float, default=3e-4,
+                   help="peak LR; MidasNet-from-scratch needs ~5e-5: the "
+                        "ResNeXt+BN trunk amplifies a full Adam step into a "
+                        "huge coherent head-output swing, and one overshoot "
+                        "past zero kills the non_negative ReLU head "
+                        "(gradients exactly zero forever after). The "
+                        "reference never hits this because MidasNet only "
+                        "ever loads pretrained weights (dpt/midas_net.py).")
+    p.add_argument("--warmup_div", type=int, default=20,
+                   help="warmup length = steps // warmup_div")
     a = p.parse_args()
 
     import jax
@@ -80,52 +90,60 @@ def main():
     log = print
     h, w, b = a.height, a.width, a.batch
     cfg = Config(height=h, width=w, batch_size=b, train_dpt=True,
-                 learning_rate=3e-4, max_depth=2.0, mesh_shape=(1,))
+                 learning_rate=a.lr, max_depth=2.0, mesh_shape=(1,))
 
     gen = SyntheticHammer(h, w, seed=7)
     full = gen.batch(b)
     batch = {k: full[k] for k in ("color", "depth", "K")}
 
     wanted = set(a.models.split(","))
+    # per-model LR: see --lr help (MidasNet scratch dies above ~1e-4)
     zoo = {"dpt": ("DPTDepthModel(vitb16, scratch)",
-                   lambda: DPTDepthModel(backbone="vitb16")),
+                   lambda: DPTDepthModel(backbone="vitb16"),
+                   a.lr, a.warmup_div),
            "midas": ("MidasNet (ResNeXt101 trunk, scratch)",
-                     lambda: MidasNet())}
+                     lambda: MidasNet(),
+                     min(a.lr, 5e-5), max(a.warmup_div, 8))}
     prior = {}
     if os.path.exists("dpt_demo.json"):
         with open("dpt_demo.json") as f:
             prior = {r["model"]: r for r in json.load(f)}
 
     rows = []
-    for key, (tag, make) in zoo.items():
+    for key, (tag, make, lr_m, wdiv_m) in zoo.items():
+        geom = f"{b}x{w}x{h}/{a.steps} steps @ lr {lr_m:g}"
         if key not in wanted:
             if tag in prior:   # merge the earlier run's row
                 r = prior[tag]
                 rows.append((r["model"], r.get("curve", []), r["first"],
-                             r["last"], r["ratio"], r["wall_s"]))
+                             r["last"], r["ratio"], r["wall_s"],
+                             r.get("geom", geom)))
             continue
-        curve, dt = overfit(tag, make(), cfg, batch, a.steps, log)
+        curve, dt = overfit(tag, make(), cfg.replace(learning_rate=lr_m),
+                            batch, a.steps, log, wdiv_m)
         first = next(d for _, _, d in curve if np.isfinite(d))
         last = curve[-1][2]
-        rows.append((tag, curve, first, last, first / max(last, 1e-9), dt))
+        rows.append((tag, curve, first, last, first / max(last, 1e-9), dt,
+                     geom))
 
     dev = str(jax.devices()[0])
     lines = [
         "# DPT-family convergence demo",
         "",
-        f"Overfit on {b} synthetic HAMMER frames at {w}x{h}, Adam "
-        f"(warmup+cosine, peak {cfg.learning_rate}), {a.steps} steps, "
+        f"Overfit on synthetic HAMMER frames (geometry/steps/LR per row), "
+        f"Adam warmup+cosine, "
         f"scratch init, supervised single-scale loss (the reference's "
         f"--train_dpt branch, trainer.py:161-167 + 1144-1146).  The gate is "
         f"the masked-L1 depth term: the total loss carries an irreducible "
         f"edge-aware-smoothness floor even at perfect depth.  "
         f"Hardware: {dev}.",
         "",
-        "| model | initial depth L1 | final depth L1 | reduction | wall s |",
-        "|---|---|---|---|---|",
+        "| model | run (BxWxH/steps@lr) | initial depth L1 | "
+        "final depth L1 | reduction | wall s |",
+        "|---|---|---|---|---|---|",
     ]
-    for tag, curve, first, last, ratio, dt in rows:
-        lines.append(f"| {tag} | {first:.4f} | {last:.4f} | "
+    for tag, curve, first, last, ratio, dt, g in rows:
+        lines.append(f"| {tag} | {g} | {first:.4f} | {last:.4f} | "
                      f"{ratio:.1f}x | {dt:.0f} |")
     lines += ["", "Curves (step: total loss / depth L1):", ""]
     for tag, curve, *_ in rows:
@@ -133,14 +151,20 @@ def main():
         lines.append(f"- **{tag}**: {pts}")
     lines.append("")
     ok = all(r[4] >= 10.0 for r in rows)
-    lines.append(f"Both graphs train: {'YES' if ok else 'NO'} "
-                 "(>=10x depth-term reduction target).")
+    covered = ", ".join(r[0] for r in rows)
+    missing = [entry[0] for entry in zoo.values() if entry[0] not in
+               {r[0] for r in rows}]
+    verdict = "YES" if ok and not missing else ("NO" if not ok else "PARTIAL")
+    lines.append(f"Graphs proven to train ({covered}): {verdict} "
+                 "(>=10x depth-term reduction target)."
+                 + (f"  NOT YET COVERED: {', '.join(missing)}." if missing
+                    else ""))
     with open(a.out, "w") as f:
         f.write("\n".join(lines) + "\n")
     with open("dpt_demo.json", "w") as f:
         json.dump([{"model": t, "first": fi, "last": la, "ratio": r,
-                    "wall_s": d, "curve": [list(c) for c in cu]}
-                   for t, cu, fi, la, r, d in rows], f, indent=1)
+                    "wall_s": d, "geom": g, "curve": [list(c) for c in cu]}
+                   for t, cu, fi, la, r, d, g in rows], f, indent=1)
     log(f"wrote {a.out}; ok={ok}")
     return 0 if ok else 1
 
