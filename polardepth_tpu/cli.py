@@ -130,6 +130,10 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                         "(see models/cost_volume.py)")
     p.add_argument("--fast_decoder", action="store_true",
                    default=d.fast_decoder)
+    p.add_argument("--phase_packed_decoder", action="store_true",
+                   default=d.phase_packed_decoder,
+                   help="space-to-depth packed full-res decoder stages "
+                        "(exact; >=64-lane layouts, see ops/phase.py)")
     p.add_argument("--enable_12channels", action="store_true",
                    default=d.enable_12channels)
     p.add_argument("--host_cache_gb", type=float, default=d.host_cache_gb)

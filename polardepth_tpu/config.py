@@ -143,6 +143,14 @@ class Config:
     # reflection padding only in a border ring; checkpoints are
     # layout-compatible across both settings.
     fast_decoder: bool = False
+    # Phase-packed decoder: execute the decoder's full-resolution 16/32-
+    # channel stages space-to-depth packed (ops/phase.py) so every
+    # materialized tensor keeps >=64 channels — removes the TPU lane-padding
+    # HBM tax the round-3 roofline flagged (decoder 2.55x above its floor).
+    # Mathematically identical to the reference graph (same parameters,
+    # border-exact; tests/test_phase_decoder.py); differs from the unpacked
+    # plan only by f32 reduction order.
+    phase_packed_decoder: bool = False
     donate_state: bool = True
     # Host PNG decode backend: "cv2" (python) or "native" (the C++ libpng
     # thread-pool decoder, polardepth_tpu.runtime — GIL-free batch decode).

@@ -43,6 +43,8 @@ class PolarDepthNet(nn.Module):
     # (off by default — see Config.use_pallas for the axon Mosaic caveat)
     use_attention: bool = False  # arch1++: cross-modal attention at fusion
     decoder_pad_mode: str = "reflect"  # "zero" = fast decoder (HBM saver)
+    phase_packed_decoder: bool = False  # space-to-depth packed full-res
+    # decoder stages (ops/phase.py) — exact same function, >=64-lane layout
 
     @nn.compact
     def __call__(self, color: jnp.ndarray,
@@ -100,4 +102,5 @@ class PolarDepthNet(nn.Module):
             rgb_fused, xolp_feats, normals_feats, train)
         return DepthDecoder(tuple(self.scales),
                             pad_mode=self.decoder_pad_mode,
+                            phase_packed=self.phase_packed_decoder,
                             name="mono_depth")(rgb_feats + joint)

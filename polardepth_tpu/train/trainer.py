@@ -60,6 +60,7 @@ def build_model(cfg: Config) -> PolarDepthNet:
         use_pallas=cfg.use_pallas,
         use_attention=cfg.use_attention,
         decoder_pad_mode="zero" if cfg.fast_decoder else "reflect",
+        phase_packed_decoder=cfg.phase_packed_decoder,
     )
 
 

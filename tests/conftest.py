@@ -12,17 +12,27 @@ is still exercised by passing float32 arrays.
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# POLARDEPTH_TEST_TPU=1 opts the run into the real accelerator (for the
+# TPU-gated Mosaic/Pallas numerics tests, which skip themselves on CPU);
+# everything else keeps the virtual 8-device CPU mesh.
+_USE_TPU = os.environ.get("POLARDEPTH_TEST_TPU") == "1"
+
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not _USE_TPU and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_ENABLE_X64"] = "1"
+if not _USE_TPU:
+    # x64 parity tests against float64 scipy/numpy oracles; TPU runs keep
+    # the native f32 world (f64 is unsupported on the MXU).
+    os.environ["JAX_ENABLE_X64"] = "1"
 
 import jax  # noqa: E402  (import position is the point)
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 # Persistent XLA compilation cache: the train-step graphs take minutes to
 # compile on CPU; cached binaries make repeat test runs fast.
