@@ -38,7 +38,8 @@ def _make_inputs(batch, h, w):
 
 
 def measure_fps(iters=ITERS, batch=BATCH, chain=16, dtype="bfloat16",
-                fast_decoder=True, phase_packed=False) -> float:
+                fast_decoder=True, phase_packed=False,
+                use_pallas=False) -> float:
     """Amortized steady-state throughput.
 
     `chain` forward steps are executed inside ONE jit call via lax.scan (each
@@ -58,7 +59,7 @@ def measure_fps(iters=ITERS, batch=BATCH, chain=16, dtype="bfloat16",
 
     cfg = Config(height=H, width=W, batch_size=batch, dropout_rate=0.0,
                  compute_dtype=dtype, fast_decoder=fast_decoder,
-                 phase_packed_decoder=phase_packed)
+                 phase_packed_decoder=phase_packed, use_pallas=use_pallas)
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
     example = {"color": jnp.zeros((1, H, W, 3), jnp.float32),
