@@ -3,9 +3,11 @@
 North-star metric from BASELINE.json: end-to-end preprocessing-to-prediction
 (4 raw polarizer captures + RGB -> XOLP -> Fresnel priors -> tri-encoder ->
 depth) as a single jit graph, no host round-trips.  Measured in the
-production TPU fast configuration (bfloat16 trunk + zero-pad decoder;
-physics, BN statistics and disparity heads stay float32 — accuracy deltas
-vs f32 are bounded by the ablation suite's bf16-vs-f32 check).
+production TPU fast configuration (bfloat16 trunk + phase-packed decoder
+with the reference's reflection padding — ops/phase.py, same function /
+same params as the reference graph; physics, BN statistics and disparity
+heads stay float32 — accuracy deltas vs f32 are bounded by the ablation
+suite's bf16-vs-f32 check).
 
 vs_baseline compares against the same pipeline executed in float32 on the
 host CPU (the reference's only non-CUDA execution mode, --no_cuda) at the
@@ -38,7 +40,7 @@ def _make_inputs(batch, h, w):
 
 
 def measure_fps(iters=ITERS, batch=BATCH, chain=16, dtype="bfloat16",
-                fast_decoder=True, phase_packed=False,
+                fast_decoder=False, phase_packed=True,
                 use_pallas=False) -> float:
     """Amortized steady-state throughput.
 
@@ -143,7 +145,7 @@ def main():
         code = ("import json,sys; sys.argv=['bench']; "
                 "import bench; print(json.dumps(bench.measure_fps("
                 "iters=4, batch=8, chain=2, dtype='float32', "
-                "fast_decoder=False)))")
+                "fast_decoder=False, phase_packed=False)))")
         env = dict(os.environ, JAX_PLATFORMS="cpu")
         try:
             out = subprocess.run(

@@ -101,6 +101,31 @@ def test_decoder_phase_packed_f32_tol():
         assert d < 1e-3, (k, d)
 
 
+def test_decoder_phase_packed_grad_parity():
+    """The packed plan computes the same function, so parameter gradients
+    match the unpacked graph (f64 params; the f32-pinned disp heads bound
+    the residual)."""
+    rng = np.random.RandomState(5)
+    feats = _features(rng, jnp.float64, h=32, w=64)
+    base = DepthDecoder()
+    params = jax.tree.map(lambda a: a.astype(jnp.float64),
+                          base.init(jax.random.PRNGKey(0), feats))
+
+    def loss(p, packed):
+        out = DepthDecoder(phase_packed=packed).apply(p, feats)
+        return sum(jnp.sum(v ** 2) for v in out.values())
+
+    g_ref = jax.grad(lambda p: loss(p, False))(params)
+    g_pk = jax.grad(lambda p: loss(p, True))(params)
+    flat_ref = jax.tree.leaves(g_ref)
+    flat_pk = jax.tree.leaves(g_pk)
+    assert len(flat_ref) == len(flat_pk)
+    for a, b in zip(flat_ref, flat_pk):
+        scale = float(jnp.abs(a).max()) + 1e-8
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-5 * scale)
+
+
 def test_decoder_phase_packed_falls_back():
     """Configs outside the packed plan's envelope (uncertainty heads, no
     scale 0) silently run the original graph."""
