@@ -134,6 +134,10 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                    default=d.phase_packed_decoder,
                    help="space-to-depth packed full-res decoder stages "
                         "(exact; >=64-lane layouts, see ops/phase.py)")
+    p.add_argument("--photometric_packed", action="store_true",
+                   default=d.photometric_packed,
+                   help="stacked channels-leading photometric losses for the "
+                        "self-sup/student paths (exact; see ops/losses.py)")
     p.add_argument("--enable_12channels", action="store_true",
                    default=d.enable_12channels)
     p.add_argument("--host_cache_gb", type=float, default=d.host_cache_gb)
@@ -520,7 +524,8 @@ def _train_alternative_path(cfg: Config, a, writer) -> int:
             num_depth_bins=cfg.num_depth_bins,
             depth_binning=cfg.depth_binning,
             compute_dtype=cfg.compute_dtype,
-            cv_warp_impl=cfg.cv_warp_impl)
+            cv_warp_impl=cfg.cv_warp_impl,
+            phase_packed_decoder=cfg.phase_packed_decoder)
         data_fn, spe = _make_multiframe_data(cfg, a, "train")
         eval_fn, _ = _make_multiframe_data(
             cfg, a, "val" if not a.synthetic else "train")
@@ -556,7 +561,8 @@ def _train_alternative_path(cfg: Config, a, writer) -> int:
     model = SelfSupModel(
         frame_ids=tuple(cfg.frame_ids), augment_xolp=cfg.augment_xolp,
         augment_normals=cfg.augment_normals, dropout_rate=cfg.dropout_rate,
-        scales=tuple(cfg.scales), compute_dtype=cfg.compute_dtype)
+        scales=tuple(cfg.scales), compute_dtype=cfg.compute_dtype,
+        phase_packed_decoder=cfg.phase_packed_decoder)
     data_fn, spe = _make_multiframe_data(cfg, a, "train")
     eval_fn, _ = _make_multiframe_data(
         cfg, a, "val" if not a.synthetic else "train")

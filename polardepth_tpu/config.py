@@ -106,6 +106,14 @@ class Config:
     # patch/flat4 numerics are identical; pallas is exact within its K-row
     # vertical-parallax envelope (all tested).
     warp_impl: str = "patch"
+    # Packed photometric losses: evaluate the full self-sup / student
+    # reprojection pyramid as ONE stacked channels-leading computation
+    # (ops/losses.reprojection_loss_stacked) instead of per-(frame, scale)
+    # NHWC calls.  Removes the TPU lane-padding tax on the (B,H,W,3)/
+    # (B,H,W,1) photometric tensors (the dominant loss-elementwise bucket in
+    # profile_student_r3_trace.json).  Same math (tested); only applies when
+    # not v1_multiscale (per-scale resolutions can't stack).
+    photometric_packed: bool = False
     # plane-sweep (cost volume) sampler: "xla" = 4-corner gather (reference
     # numerics), "pallas"/"pallas<K>"/"..._fast" = banded Pallas warp —
     # identical on every unmasked pixel (the sweep's 2 px interior mask

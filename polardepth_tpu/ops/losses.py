@@ -26,11 +26,17 @@ def masked_l1_depth_loss(depth_gt: jnp.ndarray, depth_pred: jnp.ndarray,
 
 def supervised_normals_loss(depth_gt: jnp.ndarray, depth_pred: jnp.ndarray,
                             K: jnp.ndarray, mask: jnp.ndarray,
-                            eps: float = 1e-8) -> jnp.ndarray:
+                            eps: float = 1e-8,
+                            n_gt: jnp.ndarray | None = None) -> jnp.ndarray:
     """Masked mean of (2 - cos_sim(normals(gt), normals(pred)))
     (trainer.py:1298-1309).  cos_sim uses torch F.cosine_similarity
-    semantics: dot / (max(|a|, eps) * max(|b|, eps))."""
-    n_gt = depth_to_normals(depth_gt, K[:, :3, :3])
+    semantics: dot / (max(|a|, eps) * max(|b|, eps)).
+
+    n_gt: optionally precomputed normals(depth_gt) — the per-scale supervised
+    loss evaluates this term at every scale against the SAME full-res GT, so
+    callers hoist the GT normals out of the scale loop (exact same math)."""
+    if n_gt is None:
+        n_gt = depth_to_normals(depth_gt, K[:, :3, :3])
     n_pred = depth_to_normals(depth_pred, K[:, :3, :3])
     dot = jnp.sum(n_gt * n_pred, axis=-1, keepdims=True)
     # norms computed as sqrt(max(sq, eps^2)): same forward as
@@ -91,6 +97,61 @@ def reprojection_loss(pred: jnp.ndarray, target: jnp.ndarray,
     if not use_ssim:
         return l1
     s = jnp.mean(ssim(pred, target), axis=-1, keepdims=True)
+    return 0.85 * s + 0.15 * l1
+
+
+def _avg_pool3_hw(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3/stride-1 reflect-padded average pool over the LAST TWO dims of an
+    arbitrary-rank tensor (same math as _avg_pool3, which pools dims 1-2 of
+    NHWC)."""
+    pad = [(0, 0)] * (x.ndim - 2) + [(1, 1), (1, 1)]
+    xp = jnp.pad(x, pad, mode="reflect")
+    out = (xp[..., :-2, :-2] + xp[..., :-2, 1:-1] + xp[..., :-2, 2:] +
+           xp[..., 1:-1, :-2] + xp[..., 1:-1, 1:-1] + xp[..., 1:-1, 2:] +
+           xp[..., 2:, :-2] + xp[..., 2:, 1:-1] + xp[..., 2:, 2:])
+    return out / 9.0
+
+
+def ssim_hw(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel (1 - SSIM)/2 with H, W as the LAST TWO dims; x and y may
+    have broadcasting leading dims (e.g. y = one target shared by N
+    predictions).  Identical math to ssim()."""
+    c1 = 0.01 ** 2
+    c2 = 0.03 ** 2
+    mu_x = _avg_pool3_hw(x)
+    mu_y = _avg_pool3_hw(y)
+    sigma_x = _avg_pool3_hw(x * x) - mu_x * mu_x
+    sigma_y = _avg_pool3_hw(y * y) - mu_y * mu_y
+    sigma_xy = _avg_pool3_hw(x * y) - mu_x * mu_y
+    ssim_n = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
+    ssim_d = (mu_x ** 2 + mu_y ** 2 + c1) * (sigma_x + sigma_y + c2)
+    return jnp.clip((1.0 - ssim_n / ssim_d) * 0.5, 0.0, 1.0)
+
+
+def reprojection_loss_stacked(preds: jnp.ndarray, target: jnp.ndarray,
+                              use_ssim: bool = True) -> jnp.ndarray:
+    """Photometric loss of N stacked predictions against one shared target,
+    evaluated in a TPU-friendly channels-leading layout.
+
+    Why this exists: the per-(frame, scale) NHWC formulation materializes
+    dozens of (B, H, W, 3) and (B, H, W, 1) tensors whose minor dim is 3 or
+    1 — XLA's TPU layout tiles the minor dim to 128 lanes, so every one of
+    those pays a large HBM padding tax, and the loss shatters into hundreds
+    of small fusions (profile_student_r3_trace.json: 0.47 s/step of loss
+    elementwise).  Stacking the N photometric maps and transposing to
+    (..., H, W) keeps the minor two dims at image size (W tiles at ~94% for
+    480) and turns the whole photometric pyramid into a handful of large
+    fusions.  Same math as N reprojection_loss calls (tested).
+
+    preds: (B, N, H, W, C); target: (B, H, W, C).
+    Returns per-pixel loss (B, N, H, W) — note: no trailing channel dim.
+    """
+    p = jnp.transpose(preds, (0, 1, 4, 2, 3))          # (B, N, C, H, W)
+    t = jnp.transpose(target, (0, 3, 1, 2))[:, None]   # (B, 1, C, H, W)
+    l1 = jnp.mean(jnp.abs(t - p), axis=2)              # (B, N, H, W)
+    if not use_ssim:
+        return l1
+    s = jnp.mean(ssim_hw(p, t), axis=2)
     return 0.85 * s + 0.15 * l1
 
 

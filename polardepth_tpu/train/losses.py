@@ -108,21 +108,26 @@ def color_pyramid(color: jnp.ndarray, scales) -> Dict[int, jnp.ndarray]:
     return pyr
 
 
-def supervised_scale_terms(cfg: Config, depth, depth_sup, K, scale: int):
+def supervised_scale_terms(cfg: Config, depth, depth_sup, K, scale: int,
+                           n_gt=None):
     """Masked-L1 + normals-cosine terms at one scale
     (reference trainer.py:1241-1252).  With v1_multiscale the prediction
     stays at scale resolution, so the GT is downsampled and the valid mask
     recomputed there with scaled intrinsics (documented deviation: the
     reference's v1_multiscale + depth_supervision combination shape-errors;
-    this is the semantically consistent completion)."""
+    this is the semantically consistent completion).
+
+    n_gt: optionally precomputed normals(depth_sup) hoisted out of the
+    caller's scale loop (valid only when not v1_multiscale)."""
     from polardepth_tpu.ops.camera import scale_intrinsics
     if cfg.v1_multiscale and scale:
         depth_sup = resize_bilinear(depth_sup, depth.shape[1:3])
         K = scale_intrinsics(K, 2.0 ** -scale)
+        n_gt = None
     valid = ((depth_sup >= cfg.min_depth) &
              (depth_sup <= cfg.max_depth)).astype(depth_sup.dtype)
     l_dep = masked_l1_depth_loss(depth_sup, depth, valid)
-    l_nrm = supervised_normals_loss(depth_sup, depth, K, valid)
+    l_nrm = supervised_normals_loss(depth_sup, depth, K, valid, n_gt=n_gt)
     return l_dep, l_nrm
 
 
@@ -132,6 +137,14 @@ def supervised_losses(cfg: Config, outputs: dict, batch: dict) -> tuple:
     h, w = cfg.height, cfg.width
     depth_sup = batch["depth"]
     pyr = color_pyramid(batch["color"], cfg.scales)
+
+    n_gt = None
+    if not cfg.v1_multiscale and cfg.normals_loss_weight:
+        # GT normals are identical at every scale (full-res supervision):
+        # hoist them out of the loop (the reference recomputes them 4x,
+        # trainer.py:1298-1309 called per scale)
+        from polardepth_tpu.ops.normals import depth_to_normals
+        n_gt = depth_to_normals(depth_sup, batch["K"][:, :3, :3])
 
     logs = {}
     total = 0.0
@@ -144,7 +157,7 @@ def supervised_losses(cfg: Config, outputs: dict, batch: dict) -> tuple:
         _, depth = disp_to_depth(disp_full, cfg.min_depth, cfg.max_depth)
 
         l_depth, l_normals = supervised_scale_terms(
-            cfg, depth, depth_sup, batch["K"], s)
+            cfg, depth, depth_sup, batch["K"], s, n_gt=n_gt)
 
         mean_disp = jnp.mean(disp, axis=(1, 2), keepdims=True)
         norm_disp = disp / (mean_disp + 1e-7)

@@ -32,7 +32,9 @@ from polardepth_tpu.ops.camera import (
     backproject_depth, project_3d, scale_intrinsics,
 )
 from polardepth_tpu.ops.depth import disp_to_depth
-from polardepth_tpu.ops.losses import reprojection_loss, smooth_loss
+from polardepth_tpu.ops.losses import (
+    reprojection_loss, reprojection_loss_stacked, smooth_loss,
+)
 from polardepth_tpu.ops.resize import (
     resize_bilinear, resize_antialias,
 )
@@ -137,6 +139,7 @@ class SelfSupModel(nn.Module):
     refraction_index: float = 1.5
     compute_dtype: str = "float32"
     use_pallas: bool = True
+    phase_packed_decoder: bool = False  # ops/phase.py packed decoder stages
 
     @nn.compact
     def __call__(self, color_frames, pol=None, train: bool = False,
@@ -156,7 +159,8 @@ class SelfSupModel(nn.Module):
         depth_net = PolarDepthNet(
             self.augment_xolp, self.augment_normals, self.dropout_rate,
             tuple(self.scales), self.refraction_index, self.compute_dtype,
-            self.use_pallas, name="mono")
+            self.use_pallas,
+            phase_packed_decoder=self.phase_packed_decoder, name="mono")
         disps = depth_net(color_frames[:, 0], pol=pol, train=train)
 
         pose_net = PoseNet(self.compute_dtype, name="pose_net")
@@ -328,12 +332,92 @@ def _reduce_frames(per_frame, avg: bool):
     return jnp.min(stacked, axis=-1, keepdims=True)
 
 
+def _packed_reduce(maps: jnp.ndarray, avg: bool) -> jnp.ndarray:
+    """Min (or mean, avg_reprojection) over the frame axis of stacked
+    per-pixel loss maps (..., F, H, W) -> (..., H, W)."""
+    return jnp.mean(maps, axis=-3) if avg else jnp.min(maps, axis=-3)
+
+
+def _selfsup_losses_packed(cfg: Config, rng: jax.Array, disps: dict,
+                           warped: dict, depths: dict, batch: dict):
+    """selfsup_losses evaluated through ONE stacked channels-leading
+    photometric computation (ops.losses.reprojection_loss_stacked) — same
+    math as the per-(frame, scale) path (parity-tested), minus the TPU
+    lane-padding tax of the (B,H,W,3)/(B,H,W,1) intermediates.  Only valid
+    when not v1_multiscale (every reprojection shares the full-res target,
+    reference trainer.py:996-1001 source_scale=0 branch)."""
+    color0 = batch["color"]
+    pyr = color_pyramid(color0, cfg.scales)
+    frames = [f for f in cfg.frame_ids if f != 0]
+    frame_idx = {f: i for i, f in enumerate(cfg.frame_ids)}
+    nf, ns = len(frames), len(cfg.scales)
+    target = pyr[0]
+
+    stack = [warped[("color", f, s)] for s in cfg.scales for f in frames]
+    if not cfg.disable_automasking:
+        src0 = frames_pyramid(batch["color_frames"], cfg.scales,
+                              False)[0]
+        stack += [src0[:, frame_idx[f]] for f in frames]
+    all_loss = reprojection_loss_stacked(
+        jnp.stack(stack, axis=1), target, not cfg.no_ssim)  # (B, N, H, W)
+
+    per_scale = _packed_reduce(
+        all_loss[:, :ns * nf].reshape(
+            (-1, ns, nf) + all_loss.shape[2:]), cfg.avg_reprojection)
+    if cfg.disable_automasking:
+        identity = None
+    else:
+        ident = _packed_reduce(all_loss[:, ns * nf:], cfg.avg_reprojection)
+        # same tie-break noise stream as identity_at(0) (fold_in(rng, 0);
+        # jax.random.normal yields identical values for (B,H,W,1)/(B,H,W))
+        identity = ident + jax.random.normal(
+            jax.random.fold_in(rng, 0), ident.shape) * 1e-5
+
+    n_gt = None
+    if cfg.depth_supervision and cfg.normals_loss_weight:
+        from polardepth_tpu.ops.normals import depth_to_normals
+        n_gt = depth_to_normals(batch["depth"], batch["K"][:, :3, :3])
+
+    logs = {}
+    total = 0.0
+    for si, s in enumerate(cfg.scales):
+        reproj = per_scale[:, si]
+        if identity is None:
+            mask = jnp.ones_like(reproj)
+        else:
+            mask = (reproj < identity).astype(jnp.float32)
+        loss_s = jnp.sum(reproj * mask) / (jnp.sum(mask) + 1e-7)
+        logs[f"reproj_loss/{s}"] = loss_s
+
+        if cfg.depth_supervision:
+            from polardepth_tpu.train.losses import supervised_scale_terms
+            l_dep, l_nrm = supervised_scale_terms(
+                cfg, depths[("depth", 0, s)], batch["depth"], batch["K"], s,
+                n_gt=n_gt)
+            logs[f"supervised_depth_loss/{s}"] = l_dep
+            loss_s = loss_s + l_dep + cfg.normals_loss_weight * l_nrm
+
+        disp = disps[("disp", s)]
+        mean_disp = jnp.mean(disp, axis=(1, 2), keepdims=True)
+        l_sm = smooth_loss(disp / (mean_disp + 1e-7), pyr[s])
+        loss_s = loss_s + cfg.disparity_smoothness * l_sm / (2 ** s)
+
+        logs[f"loss/{s}"] = loss_s
+        total = total + loss_s
+
+    total = total / cfg.num_scales
+    logs["loss"] = total
+    return total, logs
+
+
 def selfsup_losses(cfg: Config, rng: jax.Array, disps: dict, warped: dict,
                    depths: dict, batch: dict):
     """Monodepth2 loss with automasking (trainer.py:1126-1296, is_multi=False
     path), plus optional supervised depth/normals terms when
     cfg.depth_supervision.  Honors avg_reprojection (mean instead of min over
     frames) and v1_multiscale (losses at each scale's own resolution)."""
+    if cfg.photometric_packed and not cfg.v1_multiscale:
+        return _selfsup_losses_packed(cfg, rng, disps, warped, depths, batch)
     color0 = batch["color"]             # clean (non-aug) frame-0 pyramid src
     pyr = color_pyramid(color0, cfg.scales)
     src_pyr = frames_pyramid(batch["color_frames"], cfg.scales,

@@ -59,6 +59,8 @@ class StudentModel(nn.Module):
     compute_dtype: str = "float32"
     bin_chunk: int = 16  # plane-sweep memory bound; see build_cost_volume
     cv_warp_impl: str = "xla"  # plane-sweep sampler; see build_cost_volume
+    phase_packed_decoder: bool = False  # ops/phase.py packed decoder stages
+    # (applies to both the teacher's mono decoder and the student decoder)
     # Rematerialize the teacher and the student encoder/decoder in the
     # backward pass: the combined teacher+student step at the published
     # batch 12 otherwise holds ~17 GB of 1/2-res encoder residuals (> one
@@ -80,7 +82,8 @@ class StudentModel(nn.Module):
         teacher = teacher_cls(
             self.frame_ids, self.augment_xolp, self.augment_normals,
             self.dropout_rate, tuple(self.scales),
-            compute_dtype=self.compute_dtype, name="teacher")
+            compute_dtype=self.compute_dtype,
+            phase_packed_decoder=self.phase_packed_decoder, name="teacher")
         t_train = train and not freeze_teacher
         if rel_poses is None:
             # pose_input=False (reference default): the lookup-frame poses
@@ -112,7 +115,9 @@ class StudentModel(nn.Module):
             color_frames[:, 0], lookup_frames, rel_poses, K_quarter,
             inv_K_quarter, min_depth_bin, max_depth_bin, train)
         decoder_cls = nn.remat(DepthDecoder) if self.remat else DepthDecoder
-        student_disps = decoder_cls(tuple(self.scales), name="depth")(feats)
+        student_disps = decoder_cls(
+            tuple(self.scales), phase_packed=self.phase_packed_decoder,
+            name="depth")(feats)
         return (disps, poses), (student_disps, lowest_cost, confidence)
 
 
@@ -151,12 +156,73 @@ def compute_matching_mask(cfg: Config, lowest_cost: jnp.ndarray,
     return m.astype(jnp.float32)
 
 
+def _student_losses_packed(cfg: Config, rng: jax.Array, student_disps: dict,
+                           warped: dict, depths: dict, mono_depths: dict,
+                           consistency_mask: jnp.ndarray,
+                           aug_mask: jnp.ndarray, batch: dict):
+    """student_losses through one stacked channels-leading photometric
+    computation (see ops.losses.reprojection_loss_stacked) — same math as
+    the per-(frame, scale) path, parity-tested.  Valid only when not
+    v1_multiscale (single full-res target)."""
+    from polardepth_tpu.ops.losses import reprojection_loss_stacked
+    from polardepth_tpu.train.selfsup import _packed_reduce
+
+    color0 = batch["color"]
+    pyr = color_pyramid(color0, cfg.scales)
+    frames = [f for f in cfg.frame_ids if f != 0]
+    nf, ns = len(frames), len(cfg.scales)
+
+    stack = jnp.stack(
+        [warped[("color", f, s)] for s in cfg.scales for f in frames], axis=1)
+    all_loss = reprojection_loss_stacked(stack, pyr[0], not cfg.no_ssim)
+    per_scale = _packed_reduce(
+        all_loss.reshape((-1, ns, nf) + all_loss.shape[2:]),
+        cfg.avg_reprojection)                       # (B, S, H, W)
+
+    mask = jnp.ones_like(per_scale[:, 0])           # (B, H, W)
+    if not cfg.disable_motion_masking:
+        mask = mask * consistency_mask[..., 0]
+    if not cfg.no_matching_augmentation:
+        mask = mask * (1.0 - aug_mask[..., 0])
+    cons_mask = 1.0 - mask
+    mask_sum = jnp.sum(mask) + 1e-7
+
+    logs = {}
+    total = 0.0
+    for si, s in enumerate(cfg.scales):
+        loss_s = jnp.sum(per_scale[:, si] * mask) / mask_sum
+        logs[f"reproj_loss/{s}"] = loss_s
+
+        consistency = jnp.mean(jnp.abs(
+            depths[("depth", 0, s)][..., 0]
+            - jax.lax.stop_gradient(
+                mono_depths[("depth", 0, s)][..., 0])) * cons_mask)
+        logs[f"consistency_loss/{s}"] = consistency
+        loss_s = loss_s + consistency
+
+        disp = student_disps[("disp", s)]
+        mean_disp = jnp.mean(disp, axis=(1, 2), keepdims=True)
+        loss_s = loss_s + cfg.disparity_smoothness * smooth_loss(
+            disp / (mean_disp + 1e-7), pyr[s]) / (2 ** s)
+
+        logs[f"loss/{s}"] = loss_s
+        total = total + loss_s
+
+    total = total / cfg.num_scales
+    logs["loss"] = total
+    return total, logs
+
+
 def student_losses(cfg: Config, rng: jax.Array, student_disps: dict,
                    warped: dict, depths: dict, mono_depths: dict,
                    consistency_mask: jnp.ndarray,
                    aug_mask: jnp.ndarray, batch: dict):
     """is_multi=True loss assembly (trainer.py:1126-1296): reprojection on
     trusted pixels, consistency |multi - sg(mono)| on the rest, smoothness."""
+    if cfg.photometric_packed and not cfg.v1_multiscale:
+        return _student_losses_packed(
+            cfg, rng, student_disps, warped, depths, mono_depths,
+            consistency_mask, aug_mask, batch)
     color0 = batch["color"]
     pyr = color_pyramid(color0, cfg.scales)
     frames = [f for f in cfg.frame_ids if f != 0]

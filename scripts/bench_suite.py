@@ -139,7 +139,8 @@ def measure_student_train(batch=12, h=320, w=480, chain=4, reps=5, **cfg_kw):
         dropout_rate=cfg.dropout_rate, scales=tuple(cfg.scales),
         num_depth_bins=cfg.num_depth_bins, depth_binning=cfg.depth_binning,
         compute_dtype=cfg.compute_dtype,
-        cv_warp_impl=getattr(cfg, "cv_warp_impl", "xla"))
+        cv_warp_impl=getattr(cfg, "cv_warp_impl", "xla"),
+        phase_packed_decoder=cfg.phase_packed_decoder)
     rng = jax.random.PRNGKey(0)
     nf = len(cfg.frame_ids)
     n_lookup = len(cfg.matching_ids) - 1
@@ -234,6 +235,18 @@ def main():
     record("student_train_320x480_pallas_bf16", lambda: measure_student_train(
         warp_impl="pallas", cv_warp_impl="pallas8_fast",
         compute_dtype="bfloat16", fast_decoder=True))
+    # round-3 session-2: fast single-pass photometric warps + phase-packed
+    # decoders + stacked channels-leading photometric losses
+    record("student_train_320x480_fast_bf16", lambda: measure_student_train(
+        warp_impl="pallas_fast", cv_warp_impl="pallas8_fast",
+        compute_dtype="bfloat16", fast_decoder=True))
+    record("student_train_320x480_packed_bf16", lambda: measure_student_train(
+        warp_impl="pallas_fast", cv_warp_impl="pallas8_fast",
+        compute_dtype="bfloat16", phase_packed_decoder=True,
+        photometric_packed=True))
+    record("student_train_320x480_packedloss_f32", lambda: measure_student_train(
+        warp_impl="pallas", cv_warp_impl="pallas8",
+        photometric_packed=True))
     if not a.skip_cpu:
         record("cpu_infer_512_f32", lambda: measure_cpu_baseline())
     print(json.dumps(results, indent=1))
