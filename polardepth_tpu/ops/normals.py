@@ -83,3 +83,42 @@ def depth_to_normals(depth: jnp.ndarray, K: jnp.ndarray,
     sq = jnp.sum(n * n, axis=-1, keepdims=True)
     norm = jnp.sqrt(jnp.maximum(sq, eps * eps))
     return n / norm
+
+
+def _sobel_hw(x: jnp.ndarray):
+    """Normalized Sobel gradients over the LAST TWO dims (replicate pad);
+    the channels-leading analog of spatial_gradient_sobel (same math)."""
+    pad = [(0, 0)] * (x.ndim - 2) + [(1, 1), (1, 1)]
+    xp = jnp.pad(x, pad, mode="edge")
+    tl, tc, tr = xp[..., :-2, :-2], xp[..., :-2, 1:-1], xp[..., :-2, 2:]
+    ml, mr = xp[..., 1:-1, :-2], xp[..., 1:-1, 2:]
+    bl, bc, br = xp[..., 2:, :-2], xp[..., 2:, 1:-1], xp[..., 2:, 2:]
+    gx = ((tr - tl) + 2.0 * (mr - ml) + (br - bl)) * 0.125
+    gy = ((bl - tl) + 2.0 * (bc - tc) + (br - tr)) * 0.125
+    return gx, gy
+
+
+def depth_to_normals_hw(depth: jnp.ndarray, K: jnp.ndarray,
+                        eps: float = 1e-12) -> jnp.ndarray:
+    """Packed variant: (B, N, H, W) depths (N stacked maps sharing one K)
+    + (B, 3, 3) K -> (B, N, 3, H, W) unit normals.
+
+    Channels-leading execution plan of depth_to_normals for the TPU: every
+    materialized tensor keeps (H, W) as the minor dims instead of a 1- or
+    3-wide channel axis that XLA tile-pads to 128 lanes.  Same math
+    (parity-tested in tests/test_packed_losses.py)."""
+    b, n, h, w = depth.shape
+    dt = depth.dtype
+    u = jnp.arange(w, dtype=dt)[None, None, None, :]
+    v = jnp.arange(h, dtype=dt)[None, None, :, None]
+    fx = K[:, 0, 0][:, None, None, None]
+    fy = K[:, 1, 1][:, None, None, None]
+    cx = K[:, 0, 2][:, None, None, None]
+    cy = K[:, 1, 2][:, None, None, None]
+    x = (u - cx) / fx * depth
+    y = (v - cy) / fy * depth
+    xyz = jnp.stack([x, y, depth], axis=2)        # (B, N, 3, H, W)
+    gx, gy = _sobel_hw(xyz)
+    nrm = jnp.cross(gx, gy, axis=2)
+    sq = jnp.sum(nrm * nrm, axis=2, keepdims=True)
+    return nrm / jnp.sqrt(jnp.maximum(sq, eps * eps))

@@ -131,9 +131,67 @@ def supervised_scale_terms(cfg: Config, depth, depth_sup, K, scale: int,
     return l_dep, l_nrm
 
 
+def _supervised_losses_packed(cfg: Config, outputs: dict,
+                              batch: dict) -> tuple:
+    """supervised_losses evaluated over the 4 scales as one stacked
+    channels-leading computation (cf. ops.losses.reprojection_loss_stacked
+    rationale): the per-scale full-res depth/normals tensors are (B,H,W,1)/
+    (B,H,W,3) in the reference plan and pay the TPU minor-dim padding tax
+    when materialized.  Same math, parity-tested.  Not v1_multiscale only."""
+    from polardepth_tpu.ops.normals import depth_to_normals_hw
+    h, w = cfg.height, cfg.width
+    depth_sup = batch["depth"][..., 0]                       # (B, H, W)
+    pyr = color_pyramid(batch["color"], cfg.scales)
+
+    disp_full = [outputs[("disp", s)] if s == 0 else
+                 resize_bilinear(outputs[("disp", s)], (h, w))
+                 for s in cfg.scales]
+    disp_stack = jnp.stack([d[..., 0] for d in disp_full], 1)  # (B, S, H, W)
+    _, depth_stack = disp_to_depth(disp_stack, cfg.min_depth, cfg.max_depth)
+
+    valid = ((depth_sup >= cfg.min_depth) &
+             (depth_sup <= cfg.max_depth)).astype(depth_stack.dtype)
+    denom = jnp.sum(valid)
+    l1 = jnp.sum(jnp.abs(depth_sup[:, None] - depth_stack)
+                 * valid[:, None], axis=(0, 2, 3)) / denom    # (S,)
+
+    # always computed (the reference logs the unweighted normals loss even
+    # when normals_loss_weight is 0, trainer.py:1248-1252)
+    K3 = batch["K"][:, :3, :3]
+    n_gt = depth_to_normals_hw(depth_sup[:, None], K3)        # (B,1,3,H,W)
+    n_pred = depth_to_normals_hw(depth_stack, K3)             # (B,S,3,H,W)
+    eps = 1e-8
+    dot = jnp.sum(n_gt * n_pred, axis=2)
+    na = jnp.sqrt(jnp.maximum(jnp.sum(n_gt * n_gt, axis=2), eps * eps))
+    nb = jnp.sqrt(jnp.maximum(jnp.sum(n_pred * n_pred, axis=2), eps * eps))
+    cos = dot / (na * nb)
+    l_nrm = jnp.sum((2.0 - cos) * valid[:, None],
+                    axis=(0, 2, 3)) / denom                   # (S,)
+
+    logs = {}
+    total = 0.0
+    for si, s in enumerate(cfg.scales):
+        disp = outputs[("disp", s)]
+        mean_disp = jnp.mean(disp, axis=(1, 2), keepdims=True)
+        l_smooth = smooth_loss(disp / (mean_disp + 1e-7), pyr[s])
+        loss_s = (l1[si] + cfg.normals_loss_weight * l_nrm[si]
+                  + cfg.disparity_smoothness * l_smooth / (2 ** s))
+        total = total + loss_s
+        logs[f"supervised_depth_loss/{s}"] = l1[si]
+        logs[f"normals_loss/{s}"] = l_nrm[si]
+        logs[f"smooth_loss/{s}"] = l_smooth
+        logs[f"loss/{s}"] = loss_s
+
+    total = total / cfg.num_scales
+    logs["loss"] = total
+    return total, logs
+
+
 def supervised_losses(cfg: Config, outputs: dict, batch: dict) -> tuple:
     """Returns (total_loss, logs dict).  `outputs` holds ("disp", s) maps;
     `batch` must be preprocessed (working resolution, float)."""
+    if cfg.photometric_packed and not cfg.v1_multiscale:
+        return _supervised_losses_packed(cfg, outputs, batch)
     h, w = cfg.height, cfg.width
     depth_sup = batch["depth"]
     pyr = color_pyramid(batch["color"], cfg.scales)

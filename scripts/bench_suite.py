@@ -229,6 +229,12 @@ def main():
         compute_dtype="bfloat16", fast_decoder=True))
     record("train_320x480_bf16_phase", lambda: measure_train(
         compute_dtype="bfloat16", phase_packed_decoder=True))
+    record("train_320x480_bf16_phase_packedloss", lambda: measure_train(
+        compute_dtype="bfloat16", phase_packed_decoder=True,
+        photometric_packed=True))
+    record("train_512_bf16_phase_packedloss", lambda: measure_train(
+        batch=8, h=512, w=512, compute_dtype="bfloat16",
+        phase_packed_decoder=True, photometric_packed=True))
     record("student_train_320x480_f32", lambda: measure_student_train())
     record("student_train_320x480_pallas", lambda: measure_student_train(
         warp_impl="pallas", cv_warp_impl="pallas8"))

@@ -118,6 +118,55 @@ def test_student_losses_packed_parity(motion_masking):
                                    rtol=2e-5, atol=1e-7, err_msg=k)
 
 
+@pytest.mark.parametrize("nlw", [0.35, 0.0])
+def test_supervised_losses_packed_parity(nlw):
+    from polardepth_tpu.train.losses import supervised_losses
+    cfg = Config(height=H, width=W, batch_size=B, depth_supervision=True,
+                 normals_loss_weight=nlw, mesh_shape=(1,))
+    disps, _, _, batch = _loss_inputs(seed=13, supervised=True)
+    tot_ref, logs_ref = supervised_losses(cfg, disps, batch)
+    tot_p, logs_p = supervised_losses(
+        cfg.replace(photometric_packed=True), disps, batch)
+    np.testing.assert_allclose(float(tot_p), float(tot_ref), rtol=2e-6)
+    assert set(logs_p) == set(logs_ref)
+    for k in logs_ref:
+        np.testing.assert_allclose(float(logs_p[k]), float(logs_ref[k]),
+                                   rtol=2e-5, atol=1e-7, err_msg=k)
+
+
+def test_supervised_packed_grads_match():
+    from polardepth_tpu.train.losses import supervised_losses
+    cfg = Config(height=H, width=W, batch_size=B, depth_supervision=True,
+                 mesh_shape=(1,))
+    disps, _, _, batch = _loss_inputs(seed=17, supervised=True)
+
+    def loss_of(d0, packed):
+        d = dict(disps)
+        d[("disp", 0)] = d0
+        tot, _ = supervised_losses(
+            cfg.replace(photometric_packed=packed), d, batch)
+        return tot
+
+    d0 = disps[("disp", 0)]
+    g_ref = jax.grad(loss_of)(d0, False)
+    g_p = jax.grad(loss_of)(d0, True)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_ref), atol=2e-6)
+
+
+def test_depth_to_normals_hw_matches_nhwc():
+    from polardepth_tpu.ops.normals import depth_to_normals, depth_to_normals_hw
+    rng = np.random.default_rng(21)
+    d = _rand(rng, B, H, W, 1) * 1.5 + 0.2
+    K = np.eye(3, dtype=np.float32)
+    K[0, 0], K[1, 1] = 40.0, 38.0
+    K[0, 2], K[1, 2] = W / 2, H / 2
+    Kb = jnp.asarray(np.broadcast_to(K, (B, 3, 3)))
+    ref = np.asarray(depth_to_normals(d, Kb))               # (B,H,W,3)
+    hw = np.asarray(depth_to_normals_hw(d[..., 0][:, None], Kb))
+    np.testing.assert_allclose(hw[:, 0].transpose(0, 2, 3, 1), ref,
+                               atol=1e-6)
+
+
 def test_packed_grads_match():
     """Gradient parity through the packed path (the part that matters for
     training): d(total)/d(warped) and d(total)/d(disp)."""
