@@ -228,6 +228,12 @@ def main():
     a = p.parse_args()
 
     import jax
+    # Persistent compilation cache: per-config jax.clear_caches() (the OOM
+    # guard below) would otherwise force full recompiles of the same graphs.
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     device = str(jax.devices()[0])
     log = print
 
@@ -275,6 +281,13 @@ def main():
         with open(a.partial, "w") as f:
             json.dump(partial, f, indent=1, default=float)
         del trainer
+        # OOM guard: each config retains ~15 GB of host state (compiled
+        # executables + transfer buffers keyed by the per-config jitted
+        # closures) — the 10-config matrix OOM-killed a 125 GB host without
+        # this.  The persistent compilation cache keeps re-runs cheap.
+        import gc
+        jax.clear_caches()
+        gc.collect()
 
     meta = dict(n_train=a.train_scenes, n_val=a.val_scenes, frames=a.frames,
                 h=a.height, w=a.width, batch=a.batch_size, lr=1e-4,
