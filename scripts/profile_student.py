@@ -63,6 +63,7 @@ def build(cfg, bin_chunk=None):
         num_depth_bins=cfg.num_depth_bins, depth_binning=cfg.depth_binning,
         compute_dtype=cfg.compute_dtype,
         cv_warp_impl=getattr(cfg, "cv_warp_impl", "xla"),
+        phase_packed_decoder=cfg.phase_packed_decoder,
         **({"bin_chunk": bin_chunk} if bin_chunk is not None else {}))
     rng = jax.random.PRNGKey(0)
     nf = len(cfg.frame_ids)
@@ -213,6 +214,10 @@ def main():
                         "pallas[<K>][_fast]")
     p.add_argument("--cv_warp_impl", default="xla",
                    help="plane-sweep sampler: xla | pallas[<K>][_fast]")
+    p.add_argument("--compute_dtype", default="float32")
+    p.add_argument("--fast_decoder", action="store_true")
+    p.add_argument("--phase_packed_decoder", action="store_true")
+    p.add_argument("--photometric_packed", action="store_true")
     a = p.parse_args()
 
     import jax
@@ -224,7 +229,10 @@ def main():
     cfg = Config(height=H, width=W, batch_size=B,
                  depth_supervision_only=False, depth_supervision=True,
                  train_student=True, mesh_shape=(1,),
-                 warp_impl=a.warp_impl, cv_warp_impl=a.cv_warp_impl)
+                 warp_impl=a.warp_impl, cv_warp_impl=a.cv_warp_impl,
+                 compute_dtype=a.compute_dtype, fast_decoder=a.fast_decoder,
+                 phase_packed_decoder=a.phase_packed_decoder,
+                 photometric_packed=a.photometric_packed)
     batch = make_batch(cfg, rngs)
 
     def run_cfg(tag, cfg, pipelined_too=True, trace=False):
