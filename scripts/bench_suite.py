@@ -120,7 +120,8 @@ def measure_train(batch=12, h=320, w=480, chain=8, reps=5, **cfg_kw):
     return chain * batch / med
 
 
-def measure_student_train(batch=12, h=320, w=480, chain=4, reps=5, **cfg_kw):
+def measure_student_train(batch=12, h=320, w=480, chain=4, reps=5,
+                          remat=True, **cfg_kw):
     """Teacher+student (cost volume) train step at the published geometry,
     chained on the host (the step donates no state; readback per call)."""
     jax = _setup_jax()
@@ -140,7 +141,7 @@ def measure_student_train(batch=12, h=320, w=480, chain=4, reps=5, **cfg_kw):
         num_depth_bins=cfg.num_depth_bins, depth_binning=cfg.depth_binning,
         compute_dtype=cfg.compute_dtype,
         cv_warp_impl=getattr(cfg, "cv_warp_impl", "xla"),
-        phase_packed_decoder=cfg.phase_packed_decoder)
+        phase_packed_decoder=cfg.phase_packed_decoder, remat=remat)
     rng = jax.random.PRNGKey(0)
     nf = len(cfg.frame_ids)
     n_lookup = len(cfg.matching_ids) - 1
@@ -246,6 +247,9 @@ def main():
     record("student_train_320x480_fast_bf16", lambda: measure_student_train(
         warp_impl="pallas_fast", cv_warp_impl="pallas8_fast",
         compute_dtype="bfloat16", fast_decoder=True))
+    record("student_train_320x480_phase_bf16", lambda: measure_student_train(
+        warp_impl="pallas_fast", cv_warp_impl="pallas8_fast",
+        compute_dtype="bfloat16", phase_packed_decoder=True))
     record("student_train_320x480_packed_bf16", lambda: measure_student_train(
         warp_impl="pallas_fast", cv_warp_impl="pallas8_fast",
         compute_dtype="bfloat16", phase_packed_decoder=True,
