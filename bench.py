@@ -41,7 +41,7 @@ def _make_inputs(batch, h, w):
 
 def measure_fps(iters=ITERS, batch=BATCH, chain=16, dtype="bfloat16",
                 fast_decoder=False, phase_packed=True,
-                use_pallas=False) -> float:
+                use_pallas=True) -> float:
     """Amortized steady-state throughput.
 
     `chain` forward steps are executed inside ONE jit call via lax.scan (each

@@ -122,6 +122,7 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                    default=d.supervise_pose)
     p.add_argument("--res_pose", action="store_true", default=d.res_pose)
     p.add_argument("--use_pallas", action="store_true", default=d.use_pallas)
+    p.add_argument("--no_use_pallas", dest="use_pallas", action="store_false")
     p.add_argument("--warp_impl", type=str, default=d.warp_impl,
                    help="full-res reprojection sampler: patch | flat4 | "
                         "pallas[<K>][_fast] (see config.py)")

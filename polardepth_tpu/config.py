@@ -138,13 +138,15 @@ class Config:
     # (-1,): all devices data-parallel; (d, s): 2-D ('data', 'spatial') mesh
     # that additionally splits image H over s-way spatial partitions.
     mesh_shape: Sequence[int] = (-1,)
-    # Fused Pallas preprocessing kernel.  Off by default: on the current
-    # axon-tunneled v5e the Mosaic compile of this kernel hangs
-    # nondeterministically for some grid sizes (and a killed compile wedges
-    # the whole device for ~1 h); the XLA fused-matmul Fresnel path
-    # (ops/fresnel.py FusedPiecewiseInterp) is stable and nearly as fast.
-    # The kernel stays fully tested in interpreter mode.
-    use_pallas: bool = False
+    # Fused Pallas preprocessing kernel (pol -> XOLP -> Fresnel priors in
+    # one VMEM-resident pass).  ON by default since the round-4 banded/
+    # planar rewrite: 4.06 ms vs 6.93 ms for the XLA chain at 8x512x512
+    # (bench_physics_r4.json) and +12.6% on the 512 px headline
+    # (277.6 -> 312.6 fps).  The round-1-3 caveat (nondeterministic Mosaic
+    # compile hangs on the axon tunnel) applied to the old (512, 4)-tile
+    # kernel; the planar (ROWS, 128) kernel compiles in seconds.  Only
+    # consulted on TPU backends; CPU/interpret paths use the XLA chain.
+    use_pallas: bool = True
     # Decoder fast mode: fold padding into the decoder convs instead of
     # materialising reflection-padded tensors (measured 19.5 -> 15.8 ms at
     # 8x512x512 bf16; PERF.md item 4).  Deviates from the reference's

@@ -39,8 +39,8 @@ class PolarDepthNet(nn.Module):
     refraction_index: float = 1.5
     compute_dtype: str = "float32"  # "bfloat16" = MXU fast path; the XOLP
     # fit, Fresnel inversion and disparity heads always stay float32.
-    use_pallas: bool = False  # fused polar-preprocess kernel on TPU backends
-    # (off by default — see Config.use_pallas for the axon Mosaic caveat)
+    use_pallas: bool = True  # fused polar-preprocess kernel on TPU backends
+    # (no-op off TPU; see Config.use_pallas for the perf numbers)
     use_attention: bool = False  # arch1++: cross-modal attention at fusion
     decoder_pad_mode: str = "reflect"  # "zero" = fast decoder (HBM saver)
     phase_packed_decoder: bool = False  # space-to-depth packed full-res

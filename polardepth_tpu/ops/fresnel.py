@@ -206,6 +206,140 @@ class FusedPiecewiseInterp:
                 ys[:, 2].reshape(shape))
 
 
+class HierarchicalInterp:
+    """Two-level piecewise-linear rho->theta inversion: one-hot matmul coarse
+    lookup + 7-compare fine prefix sum.
+
+    The flat compare-matrix form (FusedPiecewiseInterp) pays O(P x K) for
+    K ~ 1000 pruned knots; on TPU the XLA path materialises that matrix in
+    HBM (~4 GB per 512px batch-8 step) and even VMEM-resident it is ~8 MXU
+    passes per 128 pixels.  Here the segments are grouped 8 per *coarse bin*
+    and the selection factorises:
+
+      1. coarse: onehot[p, b] = [rho_p lands in bin b]  (built from a
+         prefix compare against <=128 coarse knots, one per bin; the three
+         curves' bins are concatenated so each pixel's row carries exactly
+         three ones — one per curve — and ONE (P, <=128) @ (<=128, 93)
+         matmul fetches all three curves' group tables at once).
+      2. fine: within the selected group, 7 threshold compares and a
+         <=7-term delta accumulation against the group's *exactly stored*
+         base segment parameters recover (x0, f0, slope).
+
+    Numerics are strictly better than the flat telescoped form: the f32
+    accumulation spans <=7 deltas from an exact f64-derived base instead of
+    up to ~1000, so no right-tail override is needed.  Extrapolation falls
+    into the first/last segment exactly like scipy fill_value="extrapolate"
+    (bin 0's coarse knot is -inf; trailing pad thresholds are +inf with zero
+    deltas).
+
+    Table layout (rows of ``table`` (NB, 93), per curve section of 31):
+      [fine_thresh(7), d_x0(7), d_f0(7), d_slope(7), base_x0, base_f0,
+       base_slope]
+    """
+
+    GROUP = 8
+
+    def __init__(self, n: float = 1.5, prune_tol: float | None = 1e-5):
+        self.n = float(n)
+        lut = FresnelLUT(n)
+        curves = [lut.diffuse, lut.spec1, lut.spec2]
+        if prune_tol is not None:
+            curves = [prune_knots(xp, fp, prune_tol) for xp, fp in curves]
+        G = self.GROUP
+        # Sentinel for "always true / always false" compares.  Must dominate
+        # any physical rho (bounded by ~1.1 + extrapolation slack) but stay
+        # FAR from float32 max: 3e38-style sentinels overflow to inf/NaN
+        # inside dot products on backends that emulate f64 in float pairs
+        # (TPU x64 emulation) and in bf16 hi/lo table splits.
+        BIG = 1.0e6
+        cknots = []
+        rows = []        # per curve: (nbins, 31)
+        sect_sizes = []
+        for xp, fp in curves:
+            xp = np.asarray(xp, np.float64)
+            fp = np.asarray(fp, np.float64)
+            sl = np.diff(fp) / np.diff(xp)
+            seg = np.stack([xp[:-1], fp[:-1], sl], axis=-1)   # (S, 3)
+            S = seg.shape[0]
+            nb = -(-S // G)
+            ck = np.empty(nb)
+            ck[0] = -BIG                        # left extrapolation bin
+            ck[1:] = xp[G::G][:nb - 1]
+            tab = np.zeros((nb, 31))
+            for b in range(nb):
+                s0 = b * G
+                grp = seg[s0:s0 + G]            # (<=8, 3)
+                th = xp[s0 + 1:s0 + G][:grp.shape[0] - 1]     # <=7 thresholds
+                d = np.diff(grp, axis=0)                      # (<=7, 3)
+                tab[b, 0:7] = BIG
+                tab[b, 0:len(th)] = th
+                tab[b, 7:7 + len(d)] = d[:, 0]
+                tab[b, 14:14 + len(d)] = d[:, 1]
+                tab[b, 21:21 + len(d)] = d[:, 2]
+                tab[b, 28:31] = grp[0]
+            cknots.append(ck)
+            rows.append(tab)
+            sect_sizes.append(nb)
+        self.sect_sizes = sect_sizes
+        NB = int(sum(sect_sizes))
+        self._cknots = np.concatenate(cknots)                 # (NB,)
+        self._table = np.zeros((NB, 93))
+        # "is NOT the last bin of its section" mask for the prefix -> onehot
+        # subtraction (the shifted prefix must not leak across curves).
+        self._inner = np.ones(NB, bool)
+        off = 0
+        for ci, (tab, nb) in enumerate(zip(rows, sect_sizes)):
+            self._table[off:off + nb, 31 * ci:31 * ci + 31] = tab
+            self._inner[off + nb - 1] = False
+            off += nb
+
+    def __call__(self, rho: jnp.ndarray):
+        """rho (...,) -> (theta_d, theta_s1, theta_s2), each rho.shape."""
+        dt = rho.dtype
+        shape = rho.shape
+        flat = rho.reshape(-1, 1)
+        cknots = jnp.asarray(self._cknots, dt)
+        ge = (flat >= cknots[None, :])                        # (P, NB) bool
+        inner = jnp.asarray(self._inner)
+        ge_next = jnp.where(inner[None, :],
+                            jnp.concatenate(
+                                [ge[:, 1:], jnp.zeros_like(ge[:, :1])],
+                                axis=1),
+                            False)
+        if dt == jnp.float32:
+            import ml_dtypes
+            oh = (ge ^ ge_next).astype(jnp.bfloat16)
+            t32 = self._table.astype(np.float32)
+            t_hi32 = t32.astype(ml_dtypes.bfloat16).astype(np.float32)
+            params = (
+                jnp.dot(oh, jnp.asarray(t_hi32, jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+                + jnp.dot(oh, jnp.asarray(t32 - t_hi32, jnp.bfloat16),
+                          preferred_element_type=jnp.float32))
+        else:
+            params = jnp.dot((ge ^ ge_next).astype(dt),
+                             jnp.asarray(self._table, dt),
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=dt)
+        outs = []
+        for ci in range(3):
+            o = 31 * ci
+            gf = (flat >= params[:, o:o + 7]).astype(params.dtype)  # (P, 7)
+            x0 = params[:, o + 28] + jnp.sum(
+                gf * params[:, o + 7:o + 14], axis=1)
+            f0 = params[:, o + 29] + jnp.sum(
+                gf * params[:, o + 14:o + 21], axis=1)
+            sl = params[:, o + 30] + jnp.sum(
+                gf * params[:, o + 21:o + 28], axis=1)
+            outs.append((f0 + (flat[:, 0] - x0) * sl).reshape(shape))
+        return tuple(outs)
+
+
+@functools.lru_cache(maxsize=8)
+def _hier_interp(n: float) -> HierarchicalInterp:
+    return HierarchicalInterp(n, prune_tol=1e-5)
+
+
 def prune_knots(xp: np.ndarray, fp: np.ndarray, tol: float):
     """Drop knots whose removal changes the piecewise-linear interpolant by
     less than `tol` anywhere (greedy Douglas-Peucker on the curve).  The
@@ -301,16 +435,21 @@ def normal_priors_from_xolp(xolp: jnp.ndarray, n: float = 1.5,
     theory.
 
     method:
+      "hier"   — two-level one-hot lookup (HierarchicalInterp): ~8x less
+                 matmul work and HBM traffic than "fused" and tighter
+                 numerics (<=7-term f32 accumulation from exact bases).
       "fused"  — all three inversions via one compare-matrix matmul
-                 (FusedPiecewiseInterp): the TPU fast path, ~25x faster than
-                 gathers, <=2e-5 rad from the exact LUT interpolation.
+                 (FusedPiecewiseInterp), <=2e-5 rad from the exact LUT
+                 interpolation.
       "exact"  — searchsorted + gathers; bit-matches
                  scipy.interp1d(fill_value="extrapolate") in float64
                  (used by the CPU parity tests).
     """
     rho = xolp[..., 0]
     phi = xolp[..., 1]
-    if method == "fused":
+    if method == "hier":
+        t_d, t_s1, t_s2 = _hier_interp(float(n))(rho)
+    elif method == "fused":
         t_d, t_s1, t_s2 = _fused_interp(float(n))(rho)
     else:
         t_d = theta_diffuse(rho, n)

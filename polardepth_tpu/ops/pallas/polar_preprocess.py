@@ -1,46 +1,45 @@
 """Fused Pallas kernel: 4 polarizer captures -> XOLP + 9-channel Fresnel
-normal priors, one VMEM-resident pass.
+normal priors, one VMEM-resident pass (round-4 banded/planar rewrite).
 
-STATUS (round 3, 2026-08-17): the Mosaic path is now HEALTHY on the
-current toolchain — compiles in seconds and matches interpreter mode
-exactly after two fixes on our side: (a) the atan2 octant unfold uses
-signbit/copysign so IEEE signed zeros take the same branch as
-jnp.arctan2, and (b) comparisons against the XLA path are angle-aware
-(AoLP is physically mod-pi where the Stokes c component crosses zero; the
-two paths' different summation orders legitimately land on different
-branch cuts there).  The round-1 "Mosaic numerically wrong / 245 s
-compiles" verdict was a toolchain-era artifact plus the -0.0 edge; see
-scripts/probe_mosaic.py for the staged evidence.  In fact the kernel is
-MORE accurate than the pre-round-3 XLA path was (its pinv contraction ran
-default-precision bf16 on TPU; fixed in ops/xolp.py with HIGHEST).
-Production default remains Config.use_pallas=False until the kernel also
-wins on speed at production shapes (tracked in PERF.md).
+Matches the reference preprocessing chain polarisation/xolp.py:8-34 (Stokes
+fit) + manydepth/normals_vec.py:11-60 (Fresnel rho->theta inversion and
+normal priors), which the reference runs partly on the host CPU mid-forward.
 
-This is the framework's hottest preprocessing chain.  The pure-jnp
-implementation materialises the (pixels x knots) compare matrix in HBM
-(~0.4 GB per 32k-pixel chunk, ~25 GB of HBM traffic per 512px batch-8 step
-— measured 15-20 ms, HBM-bandwidth-bound).  Here the compare tile lives and
-dies in VMEM; HBM traffic collapses to reading pol (P x 4) and writing the
-11 output channels, and the knot contraction runs on the MXU.
+Why the round-3 kernel lost to XLA by 2.5x (VERDICT r3 #1): it processed
+(512, 4)-shaped pixel tiles, so every elementwise op ran at 4/128 (or 1/128)
+lane utilization across 4096 tiny grid steps, and the Fresnel segment lookup
+was a flat (pixels x ~1000 knots) compare-matrix matmul.  This rewrite keeps
+the planar-layout + full-lane-tile lessons from ops/pallas/band_warp.py:
 
-Per 512-pixel tile:
-  1. Stokes fit: abc = pol . pinv(A)^T            (12 FMAs, exact vs
-     np.linalg.lstsq — see ops/xolp.py)
-  2. rho = |(b, c)| / a (inf/NaN -> 0),  phi = atan2(c, b) / 2
-  3. segment select: g = [rho >= knot_k]  (TILE x K, VMEM only)
-     params = g @ V + base  -> (x0, f0, slope) for all 3 Fresnel curves
-     (see ops/fresnel.py FusedPiecewiseInterp for the telescoping trick and
-     the exact right-tail override)
-  4. theta_{d,s1,s2} = f0 + (rho - x0) * slope
-  5. trig: normals blocks N_diff(phi), N_spec1/2(phi + pi/2), using
-     cos(phi+pi/2) = -sin(phi) analytically.
+  * Layout: pol enters channel-planar as (4, P/128, 128) and all 11 output
+    channels leave planar as (11, P/128, 128) — every elementwise op runs on
+    full (ROWS, 128) VPU tiles.
+  * Fresnel inversion is the two-level scheme of
+    ops/fresnel.py:HierarchicalInterp: per 128-pixel lane row, ONE
+    (128, 128) @ (128, 128) MXU product (bf16 hi/lo split of the table,
+    exact 0/1 one-hot rhs -> f32-exact parameters in two passes) fetches
+    the 8-segment group tables of all three curves at once; an 8-compare
+    fine stage finishes the piecewise-linear evaluation elementwise.
+    Nothing pixel x knot ever exists outside VMEM.
+  * Numerics: <=7-term f32 delta accumulation against exactly stored group
+    bases — tighter than the flat telescoped XLA path, no right-tail
+    override needed.  atan2 is the same signbit/copysign-correct polynomial
+    as round 3 (Mosaic has no atan2 lowering).
 
-All small per-curve constants enter the kernel as Python float literals
-(Pallas kernels cannot close over array constants); only the knot vector and
-the V matrix are real VMEM operands.
+Per (ROWS, 128)-pixel grid step:
+  1. Stokes fit abc = pol . pinv(A)^T (12 FMAs; ops/xolp.py semantics,
+     inf/NaN -> 0 rule included).
+  2. rho, phi = |(b,c)|/a, atan2(c,b)/2.
+  3. Per lane row r (unrolled): coarse prefix compare against <=128 bin
+     knots -> one-hot via masked shifted subtraction -> two bf16 MXU passes
+     against the split group table -> (128, 128) parameters.
+  4. Fine stage + theta evaluation + trig -> 11 output channels
+     [rho, phi, N_diff(3), N_spec1(3), N_spec2(3)].
 
-Output layout (P, 16-padded): [rho, phi, N_diff(3), N_spec1(3), N_spec2(3),
-pad(5)].
+Kernel table layout (rows of the transposed table, per curve ci at offset
+40*ci): [fine_thresh(8, pad +inf), d_x0(8, pad 0), d_f0(8), d_slope(8),
+base_x0, base_f0, base_slope, pad(5)] — every sliced group is 8-sublane
+aligned.
 """
 
 from __future__ import annotations
@@ -50,14 +49,19 @@ import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from polardepth_tpu.ops.xolp import _PINV
-from polardepth_tpu.ops.fresnel import FusedPiecewiseInterp
+from polardepth_tpu.ops.fresnel import HierarchicalInterp
 
-TILE = 512
-OUT_CH = 16  # 11 used, lane-padded
+ROWS = 16      # lane rows (of 128 pixels) per grid step
+NB = 128       # padded coarse-bin count (all three curves concatenated)
+TROWS = 128    # padded table rows: 3 curves x 40 -> 128
+# Compare sentinel: must dominate any rho (~1.1) but stay far from f32/bf16
+# max so bf16 hi/lo splits and emulated-precision dots cannot overflow.
+_BIG = np.float32(1.0e6)
 
 # atan(t)/t as a degree-12 polynomial in s = t^2 on t in [0, 1] (Chebyshev
 # interpolation nodes, converted to power basis; max error 5.9e-12 < f32
@@ -97,127 +101,162 @@ def _atan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=8)
 def _tables(n: float, prune_tol: float | None):
-    """Host constants: padded knots (Kp,), V (Kp, 16) with columns
-    [x0_d, x0_s1, x0_s2, f0_d, f0_s1, f0_s2, sl_d, sl_s1, sl_s2, 0...],
-    base (9 floats) and exact last-segment params (3 curves x 3 floats)."""
-    fi = FusedPiecewiseInterp(n, prune_tol=prune_tol)
-    K = fi._knots.shape[0]
-    Kp = ((K + 127) // 128) * 128
-    knots = np.full((Kp,), np.float32(3.0e38))
-    knots[:K] = fi._knots
-    V = np.zeros((Kp, OUT_CH))
-    base = np.zeros(9)
+    """Kernel constants from HierarchicalInterp, padded to MXU-friendly
+    shapes: coarse knots (NB, 1), inner-bin mask (NB, 1), and the group
+    table transposed into the aligned kernel layout, split into exact-bf16
+    hi/lo halves (TROWS, NB) each."""
+    hi = HierarchicalInterp(n, prune_tol=prune_tol)
+    nb = hi._cknots.shape[0]
+    if nb > NB:
+        raise ValueError(f"coarse bins {nb} exceed padded NB={NB}")
+    ck = np.full((NB, 1), _BIG)
+    ck[:nb, 0] = hi._cknots
+    inner = np.zeros((NB, 1), np.float32)
+    inner[:nb, 0] = hi._inner.astype(np.float32)
+    tabT = np.zeros((TROWS, NB), np.float32)
+    src = hi._table.astype(np.float32)            # (nb, 93)
     for ci in range(3):
-        V[:K, 0 + ci] = fi._V[:, 3 * ci + 0]
-        V[:K, 3 + ci] = fi._V[:, 3 * ci + 1]
-        V[:K, 6 + ci] = fi._V[:, 3 * ci + 2]
-        base[0 + ci] = fi._base[3 * ci + 0]
-        base[3 + ci] = fi._base[3 * ci + 1]
-        base[6 + ci] = fi._base[3 * ci + 2]
-    # Split V into exactly-bf16-representable hi + lo parts: the MXU's
-    # default bf16 multiply is then *exact* for both passes (the lhs is a
-    # 0/1 matrix), recovering f32 precision from two default-precision dots
-    # without the HIGHEST-precision emulation path.
+        s, d = 31 * ci, 40 * ci
+        tabT[d + 0:d + 7, :nb] = src[:, s + 0:s + 7].T     # fine thresholds
+        tabT[d + 7, :nb] = _BIG                            # pad threshold
+        tabT[d + 8:d + 15, :nb] = src[:, s + 7:s + 14].T   # d_x0 (pad 0)
+        tabT[d + 16:d + 23, :nb] = src[:, s + 14:s + 21].T  # d_f0
+        tabT[d + 24:d + 31, :nb] = src[:, s + 21:s + 28].T  # d_slope
+        tabT[d + 32:d + 35, :nb] = src[:, s + 28:s + 31].T  # bases
     import ml_dtypes
-    V32 = V.astype(np.float32)
-    V_hi = V32.astype(ml_dtypes.bfloat16).astype(np.float32)
-    V_lo = (V32 - V_hi).astype(np.float32)
-    return (knots.astype(np.float32), V_hi, V_lo,
-            tuple(np.float32(v) for v in base),
-            tuple(np.float32(v) for v in fi._last_knot),
-            tuple(tuple(np.float32(v) for v in row) for row in fi._last_seg))
+    t_hi = tabT.astype(ml_dtypes.bfloat16).astype(np.float32)
+    t_lo = tabT - t_hi
+    return ck, inner, t_hi, t_lo
 
 
-def _make_kernel(base, last_knot, last_seg):
+def _make_kernel(interpret: bool):
     w = [[np.float32(v) for v in row] for row in _PINV]
 
-    def kernel(pol_ref, knots_ref, v_hi_ref, v_lo_ref, out_ref):
-        pol = pol_ref[:].astype(jnp.float32)  # (TILE, 4)
-        p = [pol[:, i:i + 1] for i in range(4)]
-        a = p[0] * w[0][0] + p[1] * w[0][1] + p[2] * w[0][2] + p[3] * w[0][3]
-        b = p[0] * w[1][0] + p[1] * w[1][1] + p[2] * w[1][2] + p[3] * w[1][3]
-        c = p[0] * w[2][0] + p[1] * w[2][1] + p[2] * w[2][2] + p[3] * w[2][3]
+    def dotT(t_hi, t_lo, oh):
+        """(TROWS, NB) @ (NB, 128) with the table pre-split hi/lo bf16.
+
+        The one-hot rhs is exact in bf16, so two default-precision MXU
+        passes reproduce the f32 product.  Interpret mode uses a HIGHEST
+        f32 dot instead (XLA on CPU/TPU outside Mosaic folds f32->bf16
+        converts feeding a dot, which would double-count the hi half —
+        same caveat as ops/pallas/band_warp.py:_dot3)."""
+        if interpret:
+            return jnp.dot(t_hi + t_lo, oh,
+                           preferred_element_type=jnp.float32,
+                           precision=lax.Precision.HIGHEST)
+        ohb = oh.astype(jnp.bfloat16)
+        return (jnp.dot(t_hi.astype(jnp.bfloat16), ohb,
+                        preferred_element_type=jnp.float32)
+                + jnp.dot(t_lo.astype(jnp.bfloat16), ohb,
+                          preferred_element_type=jnp.float32))
+
+    def kernel(pol_ref, ck_ref, inner_ref, thi_ref, tlo_ref, out_ref):
+        p0 = pol_ref[0].astype(jnp.float32)       # (ROWS, 128)
+        p1 = pol_ref[1].astype(jnp.float32)
+        p2 = pol_ref[2].astype(jnp.float32)
+        p3 = pol_ref[3].astype(jnp.float32)
+        a = p0 * w[0][0] + p1 * w[0][1] + p2 * w[0][2] + p3 * w[0][3]
+        b = p0 * w[1][0] + p1 * w[1][1] + p2 * w[1][2] + p3 * w[1][3]
+        c = p0 * w[2][0] + p1 * w[2][1] + p2 * w[2][2] + p3 * w[2][3]
         amp = jnp.sqrt(b * b + c * c)
         rho = amp / a
-        rho = jnp.where(jnp.isfinite(rho), rho, 0.0)       # (TILE, 1)
-        phi = 0.5 * _atan2(c, b)                           # (TILE, 1)
-
-        g = (rho >= knots_ref[:].reshape(1, -1)).astype(jnp.float32)
-        # Two default-precision dots against the exact hi/lo bf16 split of V
-        # (see _tables): both multiplies are exact on the MXU, so the sum
-        # recovers f32-accurate segment parameters without HIGHEST-precision
-        # emulation.
-        params = (jnp.dot(g, v_hi_ref[:], preferred_element_type=jnp.float32)
-                  + jnp.dot(g, v_lo_ref[:],
-                            preferred_element_type=jnp.float32))
-
-        thetas = []
-        for ci in range(3):
-            x0 = params[:, 0 + ci:1 + ci] + base[0 + ci]
-            f0 = params[:, 3 + ci:4 + ci] + base[3 + ci]
-            sl = params[:, 6 + ci:7 + ci] + base[6 + ci]
-            th = f0 + (rho - x0) * sl
-            x0l, f0l, sll = last_seg[ci]
-            th_tail = f0l + (rho - x0l) * sll
-            thetas.append(jnp.where(rho >= last_knot[ci], th_tail, th))
+        rho = jnp.where(jnp.isfinite(rho), rho, 0.0)       # (ROWS, 128)
+        phi = 0.5 * _atan2(c, b)
 
         sin_p = jnp.sin(phi)
         cos_p = jnp.cos(phi)
-        cols = [rho, phi]
-        for ci, az_cos, az_sin in ((0, cos_p, sin_p),
-                                   (1, -sin_p, cos_p),
-                                   (2, -sin_p, cos_p)):
-            st = jnp.sin(thetas[ci])
-            ct = jnp.cos(thetas[ci])
-            cols += [az_cos * st, az_sin * st, ct]
-        cols.append(jnp.zeros((pol.shape[0], OUT_CH - 11), jnp.float32))
-        out_ref[:] = jnp.concatenate(cols, axis=1)
+        out_ref[0] = rho
+        out_ref[1] = phi
+
+        ck = ck_ref[:]                                     # (NB, 1)
+        inner = inner_ref[:]
+        t_hi = thi_ref[:]
+        t_lo = tlo_ref[:]
+        zrow = jnp.zeros((1, 128), jnp.float32)
+        # rows[ci][comp] collects the per-lane-row (1, 128) results
+        rows = [[[], [], []] for _ in range(3)]
+        for r in range(ROWS):
+            rho_r = rho[r:r + 1, :]                        # (1, 128)
+            ge = (rho_r >= ck).astype(jnp.float32)         # (NB, 128)
+            # one-hot: prefix minus section-masked shifted prefix
+            ge_next = jnp.concatenate([ge[1:], zrow], axis=0) * inner
+            oh = ge - ge_next
+            params = dotT(t_hi, t_lo, oh)                  # (TROWS, 128)
+            for ci in range(3):
+                o = 40 * ci
+                gf = (rho_r >= params[o:o + 8]).astype(jnp.float32)
+                x0 = params[o + 32:o + 33] + jnp.sum(
+                    gf * params[o + 8:o + 16], axis=0, keepdims=True)
+                f0 = params[o + 33:o + 34] + jnp.sum(
+                    gf * params[o + 16:o + 24], axis=0, keepdims=True)
+                sl = params[o + 34:o + 35] + jnp.sum(
+                    gf * params[o + 24:o + 32], axis=0, keepdims=True)
+                th = f0 + (rho_r - x0) * sl                # (1, 128)
+                st = jnp.sin(th)
+                ct = jnp.cos(th)
+                if ci == 0:
+                    az_c, az_s = cos_p[r:r + 1], sin_p[r:r + 1]
+                else:  # specular azimuth phi + pi/2 analytically
+                    az_c, az_s = -sin_p[r:r + 1], cos_p[r:r + 1]
+                rows[ci][0].append(az_c * st)
+                rows[ci][1].append(az_s * st)
+                rows[ci][2].append(ct)
+        for ci in range(3):
+            for comp in range(3):
+                out_ref[2 + 3 * ci + comp] = jnp.concatenate(
+                    rows[ci][comp], axis=0)
 
     return kernel
 
 
 def fused_polar_preprocess(pol: jnp.ndarray, n: float = 1.5,
                            prune_tol: float | None = 1e-5,
-                           interpret: bool = False):
+                           interpret: bool | None = None):
     """pol (..., 4) [0..255-scale grays at 0/45/90/135 deg] ->
     (xolp (..., 2), priors (..., 9)), all float32.
 
     prune_tol: adaptive knot-pruning tolerance in radians (None = the full
-    1000-point reference grids; 1e-5 keeps ~1/3 of the knots and stays below
-    the float32 evaluation noise of the LUT itself).
+    1000-point reference grids — rejected here because the coarse bins would
+    exceed the padded 128; 1e-5 keeps ~1/3 of the knots and stays below the
+    float32 evaluation noise of the LUT itself).
     """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
     shape = pol.shape[:-1]
-    flat = pol.reshape(-1, 4).astype(jnp.float32)
-    P = flat.shape[0]
-    pad = (-P) % TILE
+    flat = jnp.moveaxis(pol.astype(jnp.float32).reshape(-1, 4), -1, 0)
+    P = flat.shape[1]
+    tile = ROWS * 128
+    pad = (-P) % tile
     if pad:
         flat = jnp.concatenate(
-            [flat, jnp.ones((pad, 4), jnp.float32)], axis=0)
-    Pp = flat.shape[0]
+            [flat, jnp.ones((4, pad), jnp.float32)], axis=1)
+    R_total = flat.shape[1] // 128
+    planes = flat.reshape(4, R_total, 128)
 
-    knots, V_hi, V_lo, base, last_knot, last_seg = _tables(float(n), prune_tol)
-    kernel = _make_kernel(base, last_knot, last_seg)
+    ck, inner, t_hi, t_lo = _tables(float(n), prune_tol)
+    kernel = _make_kernel(interpret)
 
     out = pl.pallas_call(
         kernel,
-        grid=(Pp // TILE,),
-        in_specs=[
-            pl.BlockSpec((TILE, 4), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((knots.shape[0],), lambda i: (0,),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((knots.shape[0], OUT_CH), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((knots.shape[0], OUT_CH), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((TILE, OUT_CH), lambda i: (i, 0),
+        grid=(R_total // ROWS,),
+        in_specs=[pl.BlockSpec((4, ROWS, 128), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Pp, OUT_CH), jnp.float32),
+                  pl.BlockSpec((NB, 1), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((NB, 1), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((TROWS, NB), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((TROWS, NB), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((11, ROWS, 128), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((11, R_total, 128), jnp.float32),
         interpret=interpret,
-    )(flat, jnp.asarray(knots), jnp.asarray(V_hi), jnp.asarray(V_lo))
+    )(planes, jnp.asarray(ck), jnp.asarray(inner), jnp.asarray(t_hi),
+      jnp.asarray(t_lo))
 
-    out = out[:P]
-    xolp = out[:, 0:2].reshape(*shape, 2)
-    priors = out[:, 2:11].reshape(*shape, 9)
+    out = out.reshape(11, R_total * 128)[:, :P]
+    xolp = jnp.moveaxis(out[0:2], 0, -1).reshape(*shape, 2)
+    priors = jnp.moveaxis(out[2:11], 0, -1).reshape(*shape, 9)
     return xolp, priors

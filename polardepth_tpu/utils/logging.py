@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import warnings
 from typing import Optional
 
 import numpy as np
@@ -44,7 +45,13 @@ class MetricWriter:
                 from tensorboardX import SummaryWriter
                 self._tb[mode] = SummaryWriter(
                     os.path.join(self.log_dir, mode))
-            except Exception:
+            except Exception as e:
+                # Degrade to JSONL-only, but never silently (VERDICT r3):
+                # a user pointing TensorBoard at log_dir must know why it
+                # is empty.
+                warnings.warn(
+                    f"TensorBoard logging disabled ({type(e).__name__}: "
+                    f"{e}); metrics continue in metrics.jsonl")
                 self._use_tb = False
                 return None
         return self._tb.get(mode)

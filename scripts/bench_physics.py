@@ -106,6 +106,26 @@ def main():
         rec(f"fresnel_tol_{tol}_chunk524288_ms",
             lambda r, ip=interp: sum(jnp.sum(t) for t in ip(r)), rho_flat)
 
+    # round-4 candidates: two-level hierarchical interp (pure XLA) and the
+    # banded/planar fused Pallas kernel
+    from polardepth_tpu.ops.fresnel import HierarchicalInterp
+    hier = HierarchicalInterp(1.5, prune_tol=1e-5)
+    rec("fresnel_hier_ms",
+        lambda r: sum(jnp.sum(t) for t in hier(r)), rho_flat)
+    rec("chain_hier_ms",
+        lambda px: jnp.sum(normal_priors_from_xolp(
+            xolp_from_pol(px), 1.5, method="hier"))
+        + jnp.sum(xolp_from_pol(px)), pol)
+    from polardepth_tpu.ops.pallas.polar_preprocess import (
+        fused_polar_preprocess,
+    )
+
+    def pallas_chain(px):
+        xo, pr = fused_polar_preprocess(px, 1.5)
+        return jnp.sum(pr) + jnp.sum(xo)
+
+    rec("chain_pallas_ms", pallas_chain, pol)
+
     # full chain with a wide-chunk interp (the candidate new default)
     from polardepth_tpu.ops import fresnel as fz
     fz._fused_interp.cache_clear()

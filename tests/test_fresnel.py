@@ -104,3 +104,29 @@ def test_fused_interp_matches_exact_path():
     f2 = np.asarray(normal_priors_from_xolp(jnp.asarray(wild), N, "fused"))
     e2 = np.asarray(normal_priors_from_xolp(jnp.asarray(wild), N, "exact"))
     np.testing.assert_allclose(f2[..., :3], e2[..., :3], atol=1e-4)
+
+
+def test_hier_interp_matches_exact_path():
+    """The round-4 two-level lookup (HierarchicalInterp, method="hier" — the
+    scheme the banded Pallas kernel implements) must agree with the exact
+    path at least as tightly as the flat fused form: its f32 accumulation
+    spans <=7 deltas from an exactly stored base instead of up to ~1000
+    telescoped terms."""
+    rng = np.random.default_rng(5)
+    xolp = np.stack([rng.uniform(0, 0.95, (3, 16, 16)),
+                     rng.uniform(-1.5, 1.5, (3, 16, 16))],
+                    axis=-1).astype(np.float32)
+    hier = np.asarray(normal_priors_from_xolp(jnp.asarray(xolp), N,
+                                              method="hier"))
+    exact = np.asarray(normal_priors_from_xolp(jnp.asarray(xolp), N,
+                                               method="exact"))
+    np.testing.assert_allclose(hier, exact, atol=5e-5)
+
+    # extrapolation: finite and diffuse-tight (no right-tail override is
+    # needed in the hierarchical form; last segment is stored exactly)
+    wild = np.stack([rng.uniform(0.95, 1.3, (8, 8)),
+                     rng.uniform(-1.5, 1.5, (8, 8))], axis=-1).astype(np.float32)
+    h2 = np.asarray(normal_priors_from_xolp(jnp.asarray(wild), N, "hier"))
+    e2 = np.asarray(normal_priors_from_xolp(jnp.asarray(wild), N, "exact"))
+    assert np.all(np.isfinite(h2))
+    np.testing.assert_allclose(h2[..., :3], e2[..., :3], atol=1e-4)

@@ -85,20 +85,33 @@ def test_custom_atan2_matches_numpy():
     np.testing.assert_allclose(got, want, atol=2e-6)
 
 
-def test_kernel_mosaic_matches_interpret_on_tpu():
-    """TPU-only: the compiled Mosaic kernel must match interpreter-mode
-    numerics (round-2's Mosaic stack produced phi off by pi; re-verified
-    correct on the round-3 stack — scripts/debug_pallas.py).  Skipped off
-    TPU; NOTE the Mosaic compile of this kernel takes ~9 minutes."""
+def test_kernel_mosaic_matches_exact_on_tpu():
+    """TPU-only: the compiled Mosaic kernel must match the exact
+    (scipy-parity) Fresnel path on physically consistent data.  The
+    interpret branch uses a HIGHEST-precision f32 dot while Mosaic uses the
+    exact-bf16 hi/lo table split (~16 mantissa bits on the slope residuals),
+    so compiled-vs-interpret only agrees to ~5e-4 in the steep-slope
+    extrapolation region of wild data; the meaningful contract is
+    compiled-vs-exact in the physical DoLP range (measured 1.5e-5 max,
+    round 4).  The banded planar kernel compiles in ~7 s (the round-3
+    (512, 4)-tile kernel took ~9 min)."""
     import pytest
     import jax
     if jax.default_backend() not in ("tpu", "axon"):
         pytest.skip("requires a TPU backend for the Mosaic path")
-    rng = np.random.default_rng(0)
-    pol = rng.uniform(0, 255, (2, 64, 64, 4)).astype(np.float32)
-    xi, pi_ = fused_polar_preprocess(jnp.asarray(pol), interpret=True)
+    pol = _physical_pol((2, 64, 64), seed=3)
     xm, pm = fused_polar_preprocess(jnp.asarray(pol), interpret=False)
-    np.testing.assert_allclose(np.asarray(xm), np.asarray(xi),
-                               rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(pm), np.asarray(pi_),
-                               rtol=1e-5, atol=1e-5)
+    xo_ref = xolp_from_pol(jnp.asarray(pol))
+    pr_ref = normal_priors_from_xolp(xo_ref, 1.5, method="exact")
+    np.testing.assert_allclose(np.asarray(xm), np.asarray(xo_ref),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(pm), np.asarray(pr_ref),
+                               atol=5e-5)
+    # wild data (deep extrapolation): finite, and loose interpret agreement
+    rng = np.random.default_rng(0)
+    wild = rng.uniform(0, 255, (1, 32, 64, 4)).astype(np.float32)
+    xw, pw = fused_polar_preprocess(jnp.asarray(wild), interpret=False)
+    xi, pi_ = fused_polar_preprocess(jnp.asarray(wild), interpret=True)
+    assert np.all(np.isfinite(np.asarray(pw)))
+    np.testing.assert_allclose(np.asarray(xw), np.asarray(xi), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pw), np.asarray(pi_), atol=2e-3)
