@@ -95,14 +95,16 @@ def render_ar_gif(path: str, rgb: np.ndarray, depth_pred: np.ndarray,
                   depth_gt: np.ndarray, obj_mask: np.ndarray,
                   logo_rgba: np.ndarray,
                   positions: Sequence[tuple[int, int]],
-                  duration_ms: int = 120) -> str:
+                  duration_ms: int = 120,
+                  logo_pixel_height: int = 60) -> str:
     """Sweep the logo across `positions` and write an animated GIF
     (main.py:189-221)."""
     from PIL import Image
     naked = create_naked_depth(depth_gt, obj_mask)
     frames = []
     for (y, x) in positions:
-        frame = composite_ar_frame(rgb, depth_pred, naked, logo_rgba, y, x)
+        frame = composite_ar_frame(rgb, depth_pred, naked, logo_rgba, y, x,
+                                   logo_pixel_height=logo_pixel_height)
         frames.append(Image.fromarray(frame.astype(np.uint8)))
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     frames[0].save(path, save_all=True, append_images=frames[1:],

@@ -526,6 +526,7 @@ def _train_alternative_path(cfg: Config, a, writer) -> int:
             depth_binning=cfg.depth_binning,
             compute_dtype=cfg.compute_dtype,
             cv_warp_impl=cfg.cv_warp_impl,
+            decoder_pad_mode="zero" if cfg.fast_decoder else "reflect",
             phase_packed_decoder=cfg.phase_packed_decoder)
         data_fn, spe = _make_multiframe_data(cfg, a, "train")
         eval_fn, _ = _make_multiframe_data(
@@ -563,6 +564,8 @@ def _train_alternative_path(cfg: Config, a, writer) -> int:
         frame_ids=tuple(cfg.frame_ids), augment_xolp=cfg.augment_xolp,
         augment_normals=cfg.augment_normals, dropout_rate=cfg.dropout_rate,
         scales=tuple(cfg.scales), compute_dtype=cfg.compute_dtype,
+        use_pallas=cfg.use_pallas,
+        decoder_pad_mode="zero" if cfg.fast_decoder else "reflect",
         phase_packed_decoder=cfg.phase_packed_decoder)
     data_fn, spe = _make_multiframe_data(cfg, a, "train")
     eval_fn, _ = _make_multiframe_data(
@@ -618,6 +621,16 @@ def cmd_evaluate(argv) -> int:
                    help="a reference weights_<epoch>/ dir of per-component "
                         ".pth files (torch-free import; reference "
                         "evaluation.py:290-311)")
+    p.add_argument("--post_process", action="store_true", default=False,
+                   help="flip-averaged eval (the original Monodepth "
+                        "post-processing; reference options.py "
+                        "--post_process)")
+    p.add_argument("--save_pred_disps", action="store_true", default=False,
+                   help="also save predicted scaled disparities as one "
+                        ".npy (reference options.py --save_pred_disps)")
+    p.add_argument("--eval_out_dir", type=str, default="",
+                   help="where --save_pred_disps writes (reference "
+                        "options.py --eval_out_dir; default: cwd)")
     a = p.parse_args(argv)
     cfg = _config_from_args(a)
     from polardepth_tpu.train.trainer import Trainer
@@ -635,6 +648,16 @@ def cmd_evaluate(argv) -> int:
             trainer.state.batch_stats)
         trainer.state = trainer.state.replace(params=pp, batch_stats=ss)
     trainer.evaluate(eval_fn())
+    if a.save_pred_disps:
+        # reference evaluate_depth semantics: one npy of scaled disparities
+        # (1/depth) over the whole split, saved to --eval_out_dir
+        disps = [1.0 / trainer.predict(b) for b in eval_fn()]
+        out_dir = a.eval_out_dir or "."
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(
+            out_dir, f"disps_{cfg.dataset}_{a.split or 'test'}_split.npy")
+        np.save(path, np.concatenate(disps, axis=0))
+        print(f"saved predicted disparities to {path}")
     return 0
 
 
@@ -792,9 +815,89 @@ def cmd_analyze(argv) -> int:
     return 0
 
 
+def cmd_ar(argv) -> int:
+    """Depth-aware AR occlusion demo (reference ar_visualization/main.py:
+    223-237): from the PNGs `polardepth pointcloud` exports, composite a
+    logo into the scene at the background depth and sweep it across the
+    frame — scene pixels whose *predicted* depth is closer occlude the
+    logo, so depth quality is visible as occlusion boundaries.  Writes an
+    animated GIF (forward + reversed sweep, like the reference's
+    make_ar_gif)."""
+    import cv2
+    p = argparse.ArgumentParser("polardepth ar")
+    p.add_argument("--pred_dir", type=str, required=True,
+                   help="dir of <name>_{rgb,mask,depth_pred,depth_gt}.png "
+                        "(from `polardepth pointcloud`)")
+    p.add_argument("--name", type=str, default="",
+                   help="frame name prefix (default: first found)")
+    p.add_argument("--logo", type=str, default="",
+                   help="RGBA logo PNG (default: a generated placeholder)")
+    p.add_argument("--out", type=str, default="",
+                   help="output GIF (default: <pred_dir>/ar/depth_check.gif)")
+    # reference __main__ sweep parameters (main.py:228-234)
+    p.add_argument("--y_start", type=int, default=225)
+    p.add_argument("--x_start", type=int, default=260)
+    p.add_argument("--num_frames", type=int, default=30)
+    p.add_argument("--pixel_movement_y", type=int, default=0)
+    p.add_argument("--pixel_movement_x", type=int, default=3)
+    p.add_argument("--logo_pixel_height", type=int, default=15)
+    a = p.parse_args(argv)
+    from polardepth_tpu.apps.ar import render_ar_gif
+
+    name = a.name
+    if not name:
+        cands = sorted(f[: -len("_depth_pred.png")]
+                       for f in os.listdir(a.pred_dir)
+                       if f.endswith("_depth_pred.png"))
+        if not cands:
+            print(f"no *_depth_pred.png in {a.pred_dir}")
+            return 1
+        name = cands[0]
+
+    def _read(tag):
+        path = os.path.join(a.pred_dir, f"{name}_{tag}.png")
+        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if img is None:
+            raise FileNotFoundError(path)
+        return img
+
+    rgb = _read("rgb")[..., ::-1]
+    mask = _read("mask")
+    pred = _read("depth_pred").astype(np.float32) / 1000.0
+    gt = _read("depth_gt").astype(np.float32) / 1000.0
+    h, w = pred.shape[:2]
+    if a.logo:
+        logo = cv2.imread(a.logo, cv2.IMREAD_UNCHANGED)
+        if logo is None:
+            raise FileNotFoundError(a.logo)
+        if logo.shape[-1] == 4:
+            logo = np.concatenate([logo[..., 2::-1], logo[..., 3:]], axis=-1)
+        else:
+            logo = logo[..., ::-1]
+    else:
+        # placeholder logo: a filled ring with alpha
+        s = 64
+        yy, xx = np.mgrid[:s, :s]
+        r2 = (yy - s / 2) ** 2 + (xx - s / 2) ** 2
+        ring = (r2 < (s * 0.45) ** 2) & (r2 > (s * 0.2) ** 2)
+        logo = np.zeros((s, s, 4), np.uint8)
+        logo[ring] = (40, 90, 220, 255)
+    ys = [a.y_start + i * a.pixel_movement_y for i in range(a.num_frames)]
+    xs = [a.x_start + i * a.pixel_movement_x for i in range(a.num_frames)]
+    positions = [(int(np.clip(y, 0, h - 1)), int(np.clip(x, 0, w - 1)))
+                 for y, x in zip(ys, xs)]
+    positions = positions + positions[::-1]  # reference's forward+reverse
+    out = a.out or os.path.join(a.pred_dir, "ar", "depth_check.gif")
+    render_ar_gif(out, rgb, pred, gt, (mask > 0).astype(np.uint8), logo,
+                  positions, duration_ms=300,
+                  logo_pixel_height=a.logo_pixel_height)
+    print(f"wrote {out} ({len(positions)} frames)")
+    return 0
+
+
 COMMANDS = {"train": cmd_train, "evaluate": cmd_evaluate,
             "pointcloud": cmd_pointcloud, "export": cmd_export,
-            "analyze": cmd_analyze}
+            "analyze": cmd_analyze, "ar": cmd_ar}
 
 
 def main(argv=None) -> int:

@@ -133,6 +133,13 @@ class Config:
     save_frequency: int = 1
     checkpoint_dir: str = ""
 
+    # ---- evaluation ---------------------------------------------------------
+    # Flip-averaged eval post-processing (the original Monodepth paper's
+    # trick, reference options.py --post_process): predict on the input and
+    # its horizontal mirror, blend the two scaled disparities with the
+    # Monodepth2 5%-border ramp masks.  Applies to eval/infer steps only.
+    post_process: bool = False
+
     # ---- TPU execution ------------------------------------------------------
     compute_dtype: str = "float32"   # "bfloat16" for the fast path
     # (-1,): all devices data-parallel; (d, s): 2-D ('data', 'spatial') mesh

@@ -140,6 +140,7 @@ class SelfSupModel(nn.Module):
     compute_dtype: str = "float32"
     use_pallas: bool = True
     phase_packed_decoder: bool = False  # ops/phase.py packed decoder stages
+    decoder_pad_mode: str = "reflect"   # "zero" = fast decoder
 
     @nn.compact
     def __call__(self, color_frames, pol=None, train: bool = False,
@@ -160,6 +161,7 @@ class SelfSupModel(nn.Module):
             self.augment_xolp, self.augment_normals, self.dropout_rate,
             tuple(self.scales), self.refraction_index, self.compute_dtype,
             self.use_pallas,
+            decoder_pad_mode=self.decoder_pad_mode,
             phase_packed_decoder=self.phase_packed_decoder, name="mono")
         disps = depth_net(color_frames[:, 0], pol=pol, train=train)
 

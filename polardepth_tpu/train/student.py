@@ -61,6 +61,7 @@ class StudentModel(nn.Module):
     cv_warp_impl: str = "xla"  # plane-sweep sampler; see build_cost_volume
     phase_packed_decoder: bool = False  # ops/phase.py packed decoder stages
     # (applies to both the teacher's mono decoder and the student decoder)
+    decoder_pad_mode: str = "reflect"  # "zero" = fast decoder, both decoders
     # Rematerialize the teacher and the student encoder/decoder in the
     # backward pass: the combined teacher+student step at the published
     # batch 12 otherwise holds ~17 GB of 1/2-res encoder residuals (> one
@@ -83,7 +84,8 @@ class StudentModel(nn.Module):
             self.frame_ids, self.augment_xolp, self.augment_normals,
             self.dropout_rate, tuple(self.scales),
             compute_dtype=self.compute_dtype,
-            phase_packed_decoder=self.phase_packed_decoder, name="teacher")
+            phase_packed_decoder=self.phase_packed_decoder,
+            decoder_pad_mode=self.decoder_pad_mode, name="teacher")
         t_train = train and not freeze_teacher
         if rel_poses is None:
             # pose_input=False (reference default): the lookup-frame poses
@@ -116,7 +118,8 @@ class StudentModel(nn.Module):
             inv_K_quarter, min_depth_bin, max_depth_bin, train)
         decoder_cls = nn.remat(DepthDecoder) if self.remat else DepthDecoder
         student_disps = decoder_cls(
-            tuple(self.scales), phase_packed=self.phase_packed_decoder,
+            tuple(self.scales), pad_mode=self.decoder_pad_mode,
+            phase_packed=self.phase_packed_decoder,
             name="depth")(feats)
         return (disps, poses), (student_disps, lowest_cost, confidence)
 

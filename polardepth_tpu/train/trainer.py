@@ -128,18 +128,56 @@ def make_multi_train_step(model: PolarDepthNet, cfg: Config):
     return multi
 
 
-def make_eval_step(model: PolarDepthNet, cfg: Config):
-    needs_pol = cfg.augment_xolp or cfg.augment_normals
+def _flip_average_disp(disp: jnp.ndarray, disp_flipped: jnp.ndarray):
+    """Monodepth2 batch_post_process_disparity: blend the straight scaled
+    disparity with the un-mirrored prediction on the mirrored input, using
+    5%-border ramp masks (each side trusts the prediction whose padding
+    artifacts are on the far edge).  disp/disp_flipped: (B, H, W, 1);
+    disp_flipped is already flipped BACK to input orientation."""
+    w = disp.shape[2]
+    xs = jnp.linspace(0.0, 1.0, w, dtype=disp.dtype)[None, None, :, None]
+    l_mask = 1.0 - jnp.clip(20.0 * (xs - 0.05), 0.0, 1.0)
+    r_mask = l_mask[:, :, ::-1]
+    mean = 0.5 * (disp + disp_flipped)
+    return (r_mask * disp + l_mask * disp_flipped
+            + (1.0 - l_mask - r_mask) * mean)
 
+
+def _forward_depth(model: PolarDepthNet, cfg: Config, state: TrainState,
+                   pb: dict) -> jnp.ndarray:
+    """Shared eval/infer forward: full-scale disparity -> clipped depth,
+    optionally flip-averaged (cfg.post_process; reference options.py
+    --post_process, Monodepth2 evaluate_depth semantics: blend the SCALED
+    disparities, then invert)."""
+    needs_pol = cfg.augment_xolp or cfg.augment_normals
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    def disp_of(pb_):
+        outputs = model.apply(
+            variables, _encoder_input(cfg, pb_),
+            pol=pb_["pol"] if needs_pol else None, train=False)
+        scaled, _ = disp_to_depth(outputs[("disp", 0)], cfg.min_depth,
+                                  cfg.max_depth)
+        return scaled
+
+    scaled = disp_of(pb)
+    if cfg.post_process:
+        # mirror every image-like input on W; pol captures flip naively,
+        # like the reference flips its stacked input channels (AoLP's sign
+        # change under mirroring is a physics nicety the reference's
+        # post_process never modeled either)
+        pb_f = dict(pb)
+        pb_f["color"] = pb["color"][:, :, ::-1]
+        if needs_pol:
+            pb_f["pol"] = pb["pol"][:, :, ::-1]
+        scaled = _flip_average_disp(scaled, disp_of(pb_f)[:, :, ::-1])
+    return jnp.clip(1.0 / scaled, cfg.min_depth, cfg.max_depth)
+
+
+def make_eval_step(model: PolarDepthNet, cfg: Config):
     def step(state: TrainState, batch: dict, acc: dict):
         pb = preprocess_batch(batch, cfg)
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-        outputs = model.apply(
-            variables, _encoder_input(cfg, pb),
-            pol=pb["pol"] if needs_pol else None, train=False)
-        _, depth = disp_to_depth(outputs[("disp", 0)], cfg.min_depth,
-                                 cfg.max_depth)
-        pred = jnp.clip(depth, cfg.min_depth, cfg.max_depth)
+        pred = _forward_depth(model, cfg, state, pb)
         metrics = eval_step_metrics(pb["depth_gt"], pred, pb["mask"],
                                     cfg.min_depth, cfg.max_depth)
         return accumulate_on_device(acc, metrics)
@@ -163,17 +201,9 @@ def make_multi_eval_step(model: PolarDepthNet, cfg: Config):
 
 
 def make_infer_step(model: PolarDepthNet, cfg: Config):
-    needs_pol = cfg.augment_xolp or cfg.augment_normals
-
     def step(state: TrainState, batch: dict):
         pb = preprocess_batch(batch, cfg)
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-        outputs = model.apply(
-            variables, _encoder_input(cfg, pb),
-            pol=pb["pol"] if needs_pol else None, train=False)
-        _, depth = disp_to_depth(outputs[("disp", 0)], cfg.min_depth,
-                                 cfg.max_depth)
-        return jnp.clip(depth, cfg.min_depth, cfg.max_depth)
+        return _forward_depth(model, cfg, state, pb)
 
     return step
 
@@ -467,5 +497,22 @@ class Trainer:
                              render_error_heatmap(
                                  depth[0], batch["depth_gt"][0],
                                  self.cfg.min_depth, self.cfg.max_depth))
+            if "mask" in batch and "depth_gt" in batch:
+                # per-material masked views, one TB mode per material class
+                # (reference trainer.py:308-314, 1449-1585: 10 extra mode
+                # writers with colormapped depth per instance-mask slice)
+                from polardepth_tpu.eval.evaluation import (
+                    MATERIAL_THRESHOLDS)
+                mask0 = np.asarray(batch["mask"][0]).squeeze()
+                for name, thr in MATERIAL_THRESHOLDS.items():
+                    if thr is None:
+                        continue
+                    sel = (mask0 >= thr[0]) & (mask0 <= thr[1])
+                    if not sel.any():
+                        continue
+                    disp = 1.0 / depth[0]
+                    writer.image(f"test_{name}", step, "depth_pred",
+                                 render_disparity(
+                                     disp * sel[..., None]))
         except Exception as exc:  # logging must never kill training
             self.log(f"image logging skipped: {exc}")

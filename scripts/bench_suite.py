@@ -141,6 +141,7 @@ def measure_student_train(batch=12, h=320, w=480, chain=4, reps=5,
         num_depth_bins=cfg.num_depth_bins, depth_binning=cfg.depth_binning,
         compute_dtype=cfg.compute_dtype,
         cv_warp_impl=getattr(cfg, "cv_warp_impl", "xla"),
+        decoder_pad_mode="zero" if cfg.fast_decoder else "reflect",
         phase_packed_decoder=cfg.phase_packed_decoder, remat=remat)
     rng = jax.random.PRNGKey(0)
     nf = len(cfg.frame_ids)
@@ -194,71 +195,87 @@ def measure_cpu_baseline(batch=8, h=512, w=512, timeout=3600):
     raise RuntimeError(f"cpu baseline failed: {out.stderr[-2000:]}")
 
 
+# The single row registry: scripts/bench_student_rows.py iterates subsets of
+# THIS dict, so a row measured either way lands under the same name and the
+# full suite covers every row (ADVICE r3).  Insertion order = run order.
+ROWS = {
+    "infer_512_f32": lambda: measure_infer(),
+    "infer_512_bf16": lambda: measure_infer(compute_dtype="bfloat16"),
+    "infer_512_bf16_fast": lambda: measure_infer(
+        compute_dtype="bfloat16", fast_decoder=True),
+    # The production headline config: phase-packed decoder stages with the
+    # reference's reflection padding (exact reference graph semantics).
+    "infer_512_bf16_phase": lambda: measure_infer(
+        compute_dtype="bfloat16", phase_packed_decoder=True),
+    "train_512_f32": lambda: measure_train(batch=8, h=512, w=512),
+    "train_512_bf16_fast": lambda: measure_train(
+        batch=8, h=512, w=512, compute_dtype="bfloat16", fast_decoder=True),
+    "train_320x480_f32": lambda: measure_train(),
+    "train_320x480_bf16_fast": lambda: measure_train(
+        compute_dtype="bfloat16", fast_decoder=True),
+    "train_320x480_bf16_phase": lambda: measure_train(
+        compute_dtype="bfloat16", phase_packed_decoder=True),
+    "train_320x480_bf16_phase_packedloss": lambda: measure_train(
+        compute_dtype="bfloat16", phase_packed_decoder=True,
+        photometric_packed=True),
+    "train_512_bf16_phase_packedloss": lambda: measure_train(
+        batch=8, h=512, w=512, compute_dtype="bfloat16",
+        phase_packed_decoder=True, photometric_packed=True),
+    "student_train_320x480_f32": lambda: measure_student_train(),
+    "student_train_320x480_pallas": lambda: measure_student_train(
+        warp_impl="pallas", cv_warp_impl="pallas8"),
+    "student_train_320x480_pallas_bf16": lambda: measure_student_train(
+        warp_impl="pallas", cv_warp_impl="pallas8_fast",
+        compute_dtype="bfloat16", fast_decoder=True),
+    # round-3 session-2: fast single-pass photometric warps + phase-packed
+    # decoders + stacked channels-leading photometric losses
+    "student_train_320x480_fast_bf16": lambda: measure_student_train(
+        warp_impl="pallas_fast", cv_warp_impl="pallas8_fast",
+        compute_dtype="bfloat16", fast_decoder=True),
+    "student_train_320x480_phase_bf16": lambda: measure_student_train(
+        warp_impl="pallas_fast", cv_warp_impl="pallas8_fast",
+        compute_dtype="bfloat16", phase_packed_decoder=True),
+    # no-remat experiment: bf16 sweep + Pallas warps freed the HBM that
+    # forced remat in round 2 — does dropping the ~0.6-forward recompute pay?
+    "student_train_320x480_phase_bf16_noremat": lambda: measure_student_train(
+        warp_impl="pallas_fast", cv_warp_impl="pallas8_fast",
+        compute_dtype="bfloat16", phase_packed_decoder=True, remat=False),
+    "student_train_320x480_packed_bf16": lambda: measure_student_train(
+        warp_impl="pallas_fast", cv_warp_impl="pallas8_fast",
+        compute_dtype="bfloat16", phase_packed_decoder=True,
+        photometric_packed=True),
+    "student_train_320x480_packedloss_f32": lambda: measure_student_train(
+        warp_impl="pallas", cv_warp_impl="pallas8",
+        photometric_packed=True),
+    "cpu_infer_512_f32": lambda: measure_cpu_baseline(),
+}
+
+
+def record(results, out, name, fn):
+    """Measure one row into results[name]; None on failure (a stale prior
+    value must never survive a re-measurement attempt — ADVICE r3)."""
+    t0 = time.time()
+    try:
+        results[name] = round(fn(), 2)
+        print(f"{name}: {results[name]} fps  ({time.time()-t0:.0f}s)",
+              flush=True)
+    except Exception as exc:
+        results[name] = None
+        print(f"{name}: FAILED {exc}", flush=True)
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--skip-cpu", action="store_true")
     p.add_argument("--out", default=os.path.join(HERE, "bench_suite.json"))
     a = p.parse_args()
     results = {}
-
-    def record(name, fn):
-        t0 = time.time()
-        try:
-            results[name] = round(fn(), 2)
-            print(f"{name}: {results[name]} fps  ({time.time()-t0:.0f}s)",
-                  flush=True)
-        except Exception as exc:
-            results[name] = None
-            print(f"{name}: FAILED {exc}", flush=True)
-        with open(a.out, "w") as f:
-            json.dump(results, f, indent=1)
-
-    record("infer_512_f32", lambda: measure_infer())
-    record("infer_512_bf16", lambda: measure_infer(
-        compute_dtype="bfloat16"))
-    record("infer_512_bf16_fast", lambda: measure_infer(
-        compute_dtype="bfloat16", fast_decoder=True))
-    # The production headline config: phase-packed decoder stages with the
-    # reference's reflection padding (exact reference graph semantics).
-    record("infer_512_bf16_phase", lambda: measure_infer(
-        compute_dtype="bfloat16", phase_packed_decoder=True))
-    record("train_512_f32", lambda: measure_train(batch=8, h=512, w=512))
-    record("train_512_bf16_fast", lambda: measure_train(
-        batch=8, h=512, w=512, compute_dtype="bfloat16", fast_decoder=True))
-    record("train_320x480_f32", lambda: measure_train())
-    record("train_320x480_bf16_fast", lambda: measure_train(
-        compute_dtype="bfloat16", fast_decoder=True))
-    record("train_320x480_bf16_phase", lambda: measure_train(
-        compute_dtype="bfloat16", phase_packed_decoder=True))
-    record("train_320x480_bf16_phase_packedloss", lambda: measure_train(
-        compute_dtype="bfloat16", phase_packed_decoder=True,
-        photometric_packed=True))
-    record("train_512_bf16_phase_packedloss", lambda: measure_train(
-        batch=8, h=512, w=512, compute_dtype="bfloat16",
-        phase_packed_decoder=True, photometric_packed=True))
-    record("student_train_320x480_f32", lambda: measure_student_train())
-    record("student_train_320x480_pallas", lambda: measure_student_train(
-        warp_impl="pallas", cv_warp_impl="pallas8"))
-    record("student_train_320x480_pallas_bf16", lambda: measure_student_train(
-        warp_impl="pallas", cv_warp_impl="pallas8_fast",
-        compute_dtype="bfloat16", fast_decoder=True))
-    # round-3 session-2: fast single-pass photometric warps + phase-packed
-    # decoders + stacked channels-leading photometric losses
-    record("student_train_320x480_fast_bf16", lambda: measure_student_train(
-        warp_impl="pallas_fast", cv_warp_impl="pallas8_fast",
-        compute_dtype="bfloat16", fast_decoder=True))
-    record("student_train_320x480_phase_bf16", lambda: measure_student_train(
-        warp_impl="pallas_fast", cv_warp_impl="pallas8_fast",
-        compute_dtype="bfloat16", phase_packed_decoder=True))
-    record("student_train_320x480_packed_bf16", lambda: measure_student_train(
-        warp_impl="pallas_fast", cv_warp_impl="pallas8_fast",
-        compute_dtype="bfloat16", phase_packed_decoder=True,
-        photometric_packed=True))
-    record("student_train_320x480_packedloss_f32", lambda: measure_student_train(
-        warp_impl="pallas", cv_warp_impl="pallas8",
-        photometric_packed=True))
-    if not a.skip_cpu:
-        record("cpu_infer_512_f32", lambda: measure_cpu_baseline())
+    for name, fn in ROWS.items():
+        if a.skip_cpu and name == "cpu_infer_512_f32":
+            continue
+        record(results, a.out, name, fn)
     print(json.dumps(results, indent=1))
 
 

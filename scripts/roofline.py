@@ -106,8 +106,11 @@ def main():
 
     dt = a.dtype
     peak = PEAK_BF16 if dt == "bfloat16" else PEAK_F32
+    # round-4: measure the PRODUCTION config (phase-packed decoder with
+    # reference reflection padding + fused Pallas preprocess), not the
+    # round-2 fast_decoder config the first roofline used.
     cfg = Config(height=H, width=W, batch_size=B, dropout_rate=0.0,
-                 compute_dtype=dt, fast_decoder=True)
+                 compute_dtype=dt, phase_packed_decoder=True)
     rng = jax.random.PRNGKey(0)
     r = np.random.default_rng(0)
 
@@ -148,6 +151,31 @@ def main():
                      r.uniform(-1.5, 1.5, (B, H, W))], -1).astype(np.float32)
     add("fresnel priors", lambda x: normal_priors_from_xolp(x, 1.5), xolp)
 
+    # round-4 production preprocess: the banded Pallas kernel.  XLA's cost
+    # model cannot see inside a pallas_call, so floors are analytic: HBM
+    # traffic = read (P, 4) f32 + write (P, 11) f32; the compute floor uses
+    # the VPU transcendental budget (atan2 poly ~30 ops + 8 sin/cos ~12 ops
+    # each ~= 126 VPU flops/pixel at ~1/16 MXU peak per the pallas guide's
+    # VPU:MXU ratio) — this chain is VPU-bound, not matmul-bound.
+    from polardepth_tpu.ops.pallas.polar_preprocess import (
+        fused_polar_preprocess)
+    P_pix = B * H * W
+    pal_gb = P_pix * (4 + 11) * 4 / 1e9
+    pal_gf = P_pix * 126 / 1e9
+    ms = measure_ms(lambda x: fused_polar_preprocess(x, 1.5)[1], pol)
+    t_bw = pal_gb * 1e9 / HBM_BW * 1e3
+    t_fl = pal_gf * 1e9 / (peak / 16) * 1e3
+    rows.append({
+        "block": "fused preprocess (pallas)", "ms": round(ms, 3),
+        "gflops": round(pal_gf, 2), "gbytes": round(pal_gb, 3),
+        "t_bw_ms": round(t_bw, 3), "t_flops_ms": round(t_fl, 3),
+        "bound": "bw" if t_bw >= t_fl else "vpu",
+        "ratio_vs_floor": round(ms / max(t_bw, t_fl, 1e-9), 2),
+    })
+    print(f"{'fused preprocess (pallas)':24s} {ms:8.3f} ms | floor "
+          f"{max(t_bw, t_fl):7.3f} ms ({rows[-1]['bound']}) | "
+          f"x{rows[-1]['ratio_vs_floor']}", flush=True)
+
     color = r.uniform(0, 1, (B, H, W, 3)).astype(np.float32)
     stem = ShallowResNet18Stem(dt)
     sv = stem.init(rng, jnp.asarray(color[:1]))
@@ -173,10 +201,11 @@ def main():
 
     feats = [r.normal(0, 1, (B, H // s, W // s, c)).astype(np.float32)
              for s, c in ((2, 64), (4, 64), (8, 128), (16, 256), (32, 512))]
-    dec = DepthDecoder((0, 1, 2, 3),
-                       pad_mode="zero" if cfg.fast_decoder else "reflect")
+    dec = DepthDecoder((0, 1, 2, 3), pad_mode="reflect",
+                       phase_packed=cfg.phase_packed_decoder)
     dv = dec.init(rng, [jnp.asarray(f[:1]) for f in feats])
-    add("depth decoder", lambda t: dec.apply(dv, list(t)), tuple(feats))
+    add("depth decoder (phase-packed)",
+        lambda t: dec.apply(dv, list(t)), tuple(feats))
 
     out = {"config": {"h": H, "w": W, "batch": B, "dtype": dt,
                       "hbm_gbps": HBM_BW / 1e9, "peak_tflops": peak / 1e12},

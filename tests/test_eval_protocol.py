@@ -159,3 +159,72 @@ def test_empty_slice_exclusion_vs_duplication():
     spread = max(per_frame) - min(per_frame)
     assert abs(ref["abs_rel"] - ours["abs_rel"]) <= spread / (N_FRAMES - 1) \
         + 0.02
+
+
+def test_flip_average_disp_matches_monodepth2_oracle():
+    """_flip_average_disp must reproduce Monodepth2's
+    batch_post_process_disparity (the reference's --post_process flag;
+    monodepth2 evaluate_depth.py) bit-for-bit in float64."""
+    from polardepth_tpu.train.trainer import _flip_average_disp
+    rng = np.random.default_rng(0)
+    l_disp = rng.uniform(0.5, 10.0, (3, 16, 40))
+    r_disp = rng.uniform(0.5, 10.0, (3, 16, 40))
+
+    # numpy oracle, transcribed from monodepth2
+    _, h, w = l_disp.shape
+    m_disp = 0.5 * (l_disp + r_disp)
+    gx, _ = np.meshgrid(np.linspace(0, 1, w), np.linspace(0, 1, h))
+    l_mask = (1.0 - np.clip(20 * (gx - 0.05), 0, 1))[None, ...]
+    r_mask = l_mask[..., ::-1]
+    want = r_mask * l_disp + l_mask * r_disp + \
+        (1.0 - l_mask - r_mask) * m_disp
+
+    got = _flip_average_disp(jnp.asarray(l_disp[..., None]),
+                             jnp.asarray(r_disp[..., None]))
+    np.testing.assert_allclose(np.asarray(got)[..., 0], want, rtol=1e-12)
+
+
+def test_post_process_composes_plain_and_mirrored_branch():
+    """make_infer_step with post_process=True must equal: blend(scaled_disp
+    on x, un-mirrored scaled_disp on mirror(x)) inverted and clipped —
+    composed manually from the plain infer step.  (Exact flip-identity
+    does NOT hold even for symmetric inputs: stride-2 convs sample even
+    columns, whose mirror lands on odd columns — the well-known off-by-one
+    the original Monodepth post-processing averages away.)"""
+    import jax
+    from polardepth_tpu.config import Config
+    from polardepth_tpu.train.trainer import (
+        build_model, make_infer_step, _flip_average_disp)
+    from polardepth_tpu.train.state import create_train_state
+
+    h, w = 32, 64
+    kw = dict(height=h, width=w, batch_size=1, dropout_rate=0.0)
+    cfg = Config(**kw)
+    cfg_pp = Config(post_process=True, **kw)
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    example = {"color": jnp.zeros((1, h, w, 3), jnp.float32),
+               "pol": jnp.zeros((1, h, w, 4), jnp.float32)}
+    state = create_train_state(model, {"params": rng, "dropout": rng},
+                               example, 1e-4)
+    r = np.random.default_rng(1)
+    batch = {"color": r.integers(0, 255, (2, h, w, 3), dtype=np.uint8),
+             "pol": r.integers(0, 255, (2, h, w, 4), dtype=np.uint8)}
+    flipped = {k: v[:, :, ::-1] for k, v in batch.items()}
+
+    plain_step = make_infer_step(model, cfg)
+    # plain step returns clipped depth = clip(1/scaled_disp); recover
+    # scaled disp exactly on the interior of the clip range
+    d = np.asarray(plain_step(state, batch))
+    d_f = np.asarray(plain_step(state, flipped))
+    blended = _flip_average_disp(jnp.asarray(1.0 / d),
+                                 jnp.asarray(1.0 / d_f[:, :, ::-1]))
+    want = np.clip(1.0 / np.asarray(blended), cfg.min_depth, cfg.max_depth)
+    got = np.asarray(make_infer_step(model, cfg_pp)(state, batch))
+    interior = (d > cfg.min_depth * 1.01) & (d < cfg.max_depth * 0.99) \
+        & (d_f[:, :, ::-1] > cfg.min_depth * 1.01) \
+        & (d_f[:, :, ::-1] < cfg.max_depth * 0.99)
+    np.testing.assert_allclose(got[interior], want[interior],
+                               rtol=1e-5, atol=1e-6)
+    # and it actually differs from the plain path somewhere
+    assert np.max(np.abs(got - d)) > 1e-4
