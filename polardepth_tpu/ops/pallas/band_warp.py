@@ -85,6 +85,21 @@ def _dot3(a32, b32, fast, interpret):
     return out
 
 
+def _dot_exact_rhs(a32, b_exact, fast, interpret):
+    """a @ b where b is exactly bf16-representable (e.g. the +-1/0 dM
+    one-hot): split only a — one fewer MXU pass than _dot3."""
+    if interpret:
+        return jnp.dot(a32, b_exact, preferred_element_type=jnp.float32,
+                       precision=lax.Precision.HIGHEST)
+    b_b = b_exact.astype(jnp.bfloat16)
+    if fast:
+        return jnp.dot(a32.astype(jnp.bfloat16), b_b,
+                       preferred_element_type=jnp.float32)
+    a_hi, a_lo = _split_hi_lo(a32)
+    return (jnp.dot(a_hi, b_b, preferred_element_type=jnp.float32)
+            + jnp.dot(a_lo, b_b, preferred_element_type=jnp.float32))
+
+
 def _dot_onehot(sel, z, fast, interpret):
     """sel @ z where sel is an exact 0/1 matrix: split only z."""
     if interpret:
@@ -204,7 +219,7 @@ def _bwd_kernel(base_ref, ix_ref, iy_ref, img_ref, g_ref,
           - jnp.where(rows == x0i[None, :], 1.0, 0.0))
 
     t = _dot3(band[slot], m, fast, interpret)                          # (KC, OW)
-    tx = _dot3(band[slot], dm, fast, interpret)
+    tx = _dot_exact_rhs(band[slot], dm, fast, interpret)  # dM is +-1/0: exact
 
     kidx = lax.broadcasted_iota(jnp.int32, (KC, OW), 0) // C
     yk = (base_s + kidx).astype(jnp.float32)

@@ -95,6 +95,11 @@ def main():
             a.reps)),
         ("pallas_k32_grad", lambda: chain_grad(
             lambda g: band_warp(img, g, k=32, interpret=False), a.reps)),
+        # the PRODUCTION student config (warp_impl="pallas_fast"): one bf16
+        # pass per dot in both directions
+        ("pallas_k32_fast_grad", lambda: chain_grad(
+            lambda g: band_warp(img, g, k=32, fast=True, interpret=False),
+            a.reps)),
     ]
     for name, thunk in cases:
         try:
