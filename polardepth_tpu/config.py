@@ -59,6 +59,11 @@ class Config:
     supervise_pose: bool = False
     res_pose: bool = False           # residual-pose refinement pass
     use_attention: bool = False      # arch1++_attention variant
+    # attention integration knobs (models/attention.py CrossModalAttention):
+    # pe_in_stream=True is the legacy round-3 integration (PE leaks into the
+    # fused features); gate=True gamma-gates the attention delta (init 0.1)
+    attention_pe_in_stream: bool = False
+    attention_gate: bool = True
     # 12-channel mode: the depth encoder consumes the four polarization
     # captures (each replicated to 3 channels, reference order
     # pol00/pol10/pol01/pol11) instead of the RGB frame

@@ -126,25 +126,50 @@ class SpatialAttention(nn.Module):
 
 class CrossModalAttention(nn.Module):
     """arch1++ integration: RGB tokens attend to the polarization-modality
-    tokens (and back) at the fusion level, before the JointEncoder."""
+    tokens (and back) at the fusion level, before the JointEncoder.
+
+    Round-4 integration knobs (VERDICT r3 #6 — the round-3 attention row
+    regressed vs the tri-encoder; these address the two integration flaws
+    found):
+      pe_in_stream=True  (the round-3 behavior) leaks the sinusoidal PE
+        into the features handed to JointEncoder — the residual stream is
+        rgb+PE, so the returned features carry a unit-magnitude position
+        pattern the downstream convs must learn to ignore.  Default False:
+        the PE participates in attention only; the collected message delta
+        is applied to the CLEAN rgb features.
+      gate=True adds a learnable scalar gamma (init 0.1, the
+        SpatialAttention gamma pattern, resnet_encoder.py:150-153) on the
+        attention delta so the graph starts ~= the tri-encoder and adopts
+        attention only as it pays.
+    """
 
     d_model: int = 128
     nhead: int = 8
     num_layers: int = 1
+    pe_in_stream: bool = False
+    gate: bool = True
 
     @nn.compact
     def __call__(self, rgb_feats, pol_feats):
         """rgb_feats: (B, H, W, Cr); pol_feats: (B, H, W, Cp).  Returns the
         attended rgb features, same shape."""
         b, h, w, cr = rgb_feats.shape
-        rgb = add_position_encoding(rgb_feats).reshape(b, h * w, cr)
+        rgb_clean = rgb_feats.reshape(b, h * w, cr)
+        rgb0 = add_position_encoding(rgb_feats).reshape(b, h * w, cr)
         pol = add_position_encoding(
             nn.Dense(self.d_model, dtype=pol_feats.dtype,
                      name="pol_embed")(pol_feats)
         ).reshape(b, h * w, self.d_model)
+        rgb = rgb0
         for i in range(self.num_layers):
             rgb = LoFTREncoderLayer(self.d_model, self.nhead,
                                     name=f"cross_{i}")(rgb, pol)
             rgb = LoFTREncoderLayer(self.d_model, self.nhead,
                                     name=f"self_{i}")(rgb, rgb)
-        return rgb.reshape(b, h, w, cr)
+        if self.pe_in_stream:  # legacy round-3 integration
+            return rgb.reshape(b, h, w, cr)
+        delta = rgb - rgb0  # sum of the attention messages, PE-free
+        if self.gate:
+            gamma = self.param("gamma", lambda *_: jnp.full((1,), 0.1))
+            delta = gamma * delta
+        return (rgb_clean + delta).reshape(b, h, w, cr)

@@ -42,6 +42,9 @@ class PolarDepthNet(nn.Module):
     use_pallas: bool = True  # fused polar-preprocess kernel on TPU backends
     # (no-op off TPU; see Config.use_pallas for the perf numbers)
     use_attention: bool = False  # arch1++: cross-modal attention at fusion
+    attention_pe_in_stream: bool = False  # legacy r3 integration (see
+    # models/attention.py CrossModalAttention docstring)
+    attention_gate: bool = True  # gamma-gated attention delta
     decoder_pad_mode: str = "reflect"  # "zero" = fast decoder (HBM saver)
     phase_packed_decoder: bool = False  # space-to-depth packed full-res
     # decoder stages (ops/phase.py) — exact same function, >=64-lane layout
@@ -97,6 +100,8 @@ class PolarDepthNet(nn.Module):
                 axis=-1)
             rgb_fused = CrossModalAttention(
                 d_model=rgb_fused.shape[-1],
+                pe_in_stream=self.attention_pe_in_stream,
+                gate=self.attention_gate,
                 name="cross_modal_attention")(rgb_fused, pol_feats)
         joint = JointEncoder(self.dropout_rate, name="joint_encoder")(
             rgb_fused, xolp_feats, normals_feats, train)

@@ -59,6 +59,8 @@ def build_model(cfg: Config) -> PolarDepthNet:
         compute_dtype=cfg.compute_dtype,
         use_pallas=cfg.use_pallas,
         use_attention=cfg.use_attention,
+        attention_pe_in_stream=cfg.attention_pe_in_stream,
+        attention_gate=cfg.attention_gate,
         decoder_pad_mode="zero" if cfg.fast_decoder else "reflect",
         phase_packed_decoder=cfg.phase_packed_decoder,
     )

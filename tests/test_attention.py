@@ -79,3 +79,46 @@ def test_arch1pp_attention_network_forward():
     out = m.apply(vars_, color, pol=pol)
     assert out[("disp", 0)].shape == (1, H, W, 1)
     assert np.isfinite(np.asarray(out[("disp", 0)])).all()
+
+
+def test_cross_modal_gate_zero_is_identity():
+    """With the round-4 gated integration, zeroing gamma must return the
+    rgb features untouched (the graph degenerates to the tri-encoder), and
+    the default init (0.1) must produce a small, PE-free perturbation."""
+    import jax
+    from polardepth_tpu.models.attention import CrossModalAttention
+
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(rng.standard_normal((2, 8, 12, 128)), jnp.float32)
+    pol = jnp.asarray(rng.standard_normal((2, 8, 12, 64)), jnp.float32)
+    m = CrossModalAttention(d_model=128)
+    v = m.init(jax.random.PRNGKey(0), rgb, pol)
+    assert float(v["params"]["gamma"][0]) == 0.1
+    v0 = jax.tree_util.tree_map(lambda x: x, v)
+    v0["params"]["gamma"] = jnp.zeros_like(v0["params"]["gamma"])
+    out0 = m.apply(v0, rgb, pol)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(rgb),
+                               rtol=1e-6, atol=1e-6)
+    out = m.apply(v, rgb, pol)
+    assert np.max(np.abs(np.asarray(out - rgb))) > 1e-6
+
+
+def test_cross_modal_legacy_matches_round3_form():
+    """pe_in_stream=True must reproduce the round-3 integration exactly:
+    output = (PE'd rgb tokens) + attention messages."""
+    import jax
+    from polardepth_tpu.models.attention import (
+        CrossModalAttention, add_position_encoding)
+
+    rng = np.random.default_rng(1)
+    rgb = jnp.asarray(rng.standard_normal((1, 8, 12, 128)), jnp.float32)
+    pol = jnp.asarray(rng.standard_normal((1, 8, 12, 64)), jnp.float32)
+    legacy = CrossModalAttention(d_model=128, pe_in_stream=True, gate=False)
+    v = legacy.init(jax.random.PRNGKey(0), rgb, pol)
+    clean = CrossModalAttention(d_model=128, pe_in_stream=False, gate=False)
+    out_legacy = legacy.apply(v, rgb, pol)
+    out_clean = clean.apply(v, rgb, pol)
+    pe = add_position_encoding(rgb) - rgb
+    np.testing.assert_allclose(np.asarray(out_legacy),
+                               np.asarray(out_clean + pe),
+                               rtol=1e-4, atol=1e-5)
