@@ -134,3 +134,100 @@ def test_spatial_partition_eval_matches():
     assert tree1 == tree2
     np.testing.assert_allclose(np.asarray(l1, np.float64),
                                np.asarray(l2, np.float64), rtol=1e-4)
+
+
+def test_tri_tp_spec_rules():
+    """tri_tp_spec: JointEncoder residual convs column/row, BN stats follow
+    the column shard, shallow encoders + decoder replicate."""
+    from polardepth_tpu.train.trainer import build_model
+    cfg = Config(height=32, width=32, batch_size=2, dropout_rate=0.0,
+                 mesh_shape=(1,), donate_state=False)
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    example = {"color": jnp.zeros((1, 32, 32, 3), jnp.float32),
+               "pol": jnp.zeros((1, 32, 32, 4), jnp.float32)}
+    state = create_train_state(model, {"params": rng, "dropout": rng},
+                               example, 1e-4)
+    specs = jax.tree_util.tree_map_with_path(
+        lambda p, x: tp.tri_tp_spec(p, x), state.params)
+    P = jax.sharding.PartitionSpec
+    rb = specs["joint_encoder"]["ResidualBlock_5"]
+    assert rb["ConvBNReLUDrop_0"]["TorchConv_0"]["Conv_0"]["kernel"] == \
+        P(None, None, None, "model")
+    assert rb["ConvBNReLUDrop_0"]["TorchConv_0"]["Conv_0"]["bias"] == \
+        P("model")
+    assert rb["ConvBNReLUDrop_0"]["BatchNorm_0"]["scale"] == P("model")
+    assert rb["ConvBNReLUDrop_1"]["TorchConv_0"]["Conv_0"]["kernel"] == \
+        P(None, None, "model", None)
+    assert rb["ConvBNReLUDrop_1"]["TorchConv_0"]["Conv_0"]["bias"] == P()
+    assert rb["ConvBNReLUDrop_1"]["BatchNorm_0"]["scale"] == P()
+    # the 5x5 downsamples: column; the 1x1 fusion convs: replicated
+    je = specs["joint_encoder"]
+    assert je["ConvBNReLUDrop_3"]["TorchConv_0"]["Conv_0"]["kernel"] == \
+        P(None, None, None, "model")
+    assert je["ConvBNReLUDrop_0"]["TorchConv_0"]["Conv_0"]["kernel"] == P()
+    # everything outside the joint trunk replicates
+    flat = jax.tree_util.tree_leaves_with_path(specs)
+    for path, s in flat:
+        top = str(path[0].key)
+        if top != "joint_encoder":
+            assert s == P(), (path, s)
+    # BN running stats follow their block's shard
+    bs = jax.tree_util.tree_map_with_path(
+        lambda p, x: tp.tri_tp_spec(p, x), state.batch_stats)
+    rbs = bs["joint_encoder"]["ResidualBlock_5"]
+    assert rbs["ConvBNReLUDrop_0"]["BatchNorm_0"]["mean"] == P("model")
+    assert rbs["ConvBNReLUDrop_1"]["BatchNorm_0"]["mean"] == P()
+    with pytest.raises(ValueError):
+        tp.validate_tri_tp(3)
+
+
+def test_tri_tp_step_matches_single_device():
+    """One supervised tri-encoder train step on a (data=2, model=4) mesh
+    == the single-device step (VERDICT r3 #10: TP beyond the DPT family)."""
+    assert len(jax.devices()) >= 8
+    from polardepth_tpu.train.trainer import build_model, make_train_step
+    cfg = Config(height=32, width=32, batch_size=2, dropout_rate=0.0,
+                 mesh_shape=(1,), donate_state=False)
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    example = {"color": jnp.zeros((1, 32, 32, 3), jnp.float32),
+               "pol": jnp.zeros((1, 32, 32, 4), jnp.float32)}
+    state = create_train_state(model, {"params": rng, "dropout": rng},
+                               example, cfg.learning_rate)
+    full = SyntheticHammer(cfg.height, cfg.width, seed=4).batch(2)
+    batch = {k: jnp.asarray(full[k]) for k in ("color", "pol", "depth", "K")}
+
+    plain = jax.jit(make_train_step(model, cfg))
+    s_ref, logs_ref = plain(state, batch, rng)
+
+    mesh = tp.create_tp_mesh(2, 4)
+    tp.validate_tri_tp(4)
+    state_tp, sh = tp.shard_train_state(state, mesh, spec_fn=tp.tri_tp_spec)
+    frac = tp.sharded_fraction(state_tp.params)
+    assert frac > 0.5, f"only {frac:.2f} of params sharded"
+    k0 = state_tp.params["joint_encoder"]["ResidualBlock_5"][
+        "ConvBNReLUDrop_0"]["TorchConv_0"]["Conv_0"]["kernel"]
+    assert not k0.sharding.is_fully_replicated
+    mu = state_tp.opt_state[0].mu["joint_encoder"]["ResidualBlock_5"][
+        "ConvBNReLUDrop_0"]["TorchConv_0"]["Conv_0"]["kernel"]
+    assert mu.sharding.spec == k0.sharding.spec
+
+    step = tp.make_tri_tp_train_step(model, cfg, mesh, sh, donate=False)
+    s_tp, logs_tp = step(state_tp, batch, rng)
+    # row-parallel contractions change the f32 summation order only
+    np.testing.assert_allclose(float(logs_ref["loss"]),
+                               float(logs_tp["loss"]), rtol=5e-4)
+    a = jax.device_get(s_ref.params["joint_encoder"]["ResidualBlock_5"][
+        "ConvBNReLUDrop_0"]["TorchConv_0"]["Conv_0"]["kernel"])
+    b = jax.device_get(s_tp.params["joint_encoder"]["ResidualBlock_5"][
+        "ConvBNReLUDrop_0"]["TorchConv_0"]["Conv_0"]["kernel"])
+    lr = cfg.learning_rate
+    np.testing.assert_allclose(a, b, rtol=1e-2, atol=2.0 * lr)
+    # BN running stats updated on-shard and match the single-device step
+    sa = jax.device_get(s_ref.batch_stats["joint_encoder"][
+        "ResidualBlock_5"]["ConvBNReLUDrop_0"]["BatchNorm_0"]["mean"])
+    sb = jax.device_get(s_tp.batch_stats["joint_encoder"][
+        "ResidualBlock_5"]["ConvBNReLUDrop_0"]["BatchNorm_0"]["mean"])
+    # batch means are O(1e-2) with different summation order per layout
+    np.testing.assert_allclose(sa, sb, rtol=1e-2, atol=1e-5)
