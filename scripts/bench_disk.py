@@ -128,6 +128,45 @@ def main():
                 break
         return steps * BATCH / (time.perf_counter() - t0)
 
+    # component rates, to attribute any disk-vs-inmem gap:
+    # (a) tunnel/PCIe host->device upload bandwidth at the batch size
+    # NB: block_until_ready can return before completion through the axon
+    # tunnel (PERF.md), so time with a value readback of the shipped bytes;
+    # subtract the readback-only dispatch cost measured on a resident copy.
+    rng = np.random.default_rng(1)
+    ups = [{"color": rng.integers(0, 255, (BATCH, H, W, 3), dtype=np.uint8),
+            "pol": rng.integers(0, 255, (BATCH, H, W, 4), dtype=np.uint8)}
+           for _ in range(4)]
+    nb = sum(v.nbytes for v in ups[0].values())
+    touch = jax.jit(lambda d: jnp.float32(d["color"][0, 0, 0, 0])
+                    + jnp.float32(d["pol"][-1, -1, -1, -1]))
+    resident = jax.device_put(ups[0])
+    float(touch(resident))  # compile
+    t0 = time.perf_counter()
+    for _ in range(10):
+        float(touch(resident))
+    base = (time.perf_counter() - t0) / 10
+    t0 = time.perf_counter()
+    for k in range(10):
+        float(touch(jax.device_put(ups[k % len(ups)])))
+    dt = (time.perf_counter() - t0) / 10 - base
+    results["upload_MBps"] = round(nb / dt / 1e6, 1)
+    results["upload_ms_per_batch"] = round(dt * 1e3, 1)
+    print(f"host->device upload: {results['upload_MBps']} MB/s "
+          f"({results['upload_ms_per_batch']} ms/batch)", flush=True)
+
+    # (b) pure-host loader capacity (decode + batch assembly, NO device):
+    # what the pipeline sustains if the device side were free
+    it = BatchIterator(load, n, BATCH, shuffle=True, seed=0,
+                       num_workers=8, cache_bytes=0)
+    cnt = 0
+    t0 = time.perf_counter()
+    for b in it:
+        cnt += 1
+    results["loader_fps_host"] = round(cnt * BATCH
+                                       / (time.perf_counter() - t0), 2)
+    print(f"loader_fps_host {results['loader_fps_host']}", flush=True)
+
     results["disk_fps"] = round(run(0, a.steps, False), 2)
     print(f"disk_fps {results['disk_fps']}", flush=True)
     results["cached_fps"] = round(run(64 << 30, a.steps, True), 2)
