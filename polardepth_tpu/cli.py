@@ -135,6 +135,11 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                    default=d.phase_packed_decoder,
                    help="space-to-depth packed full-res decoder stages "
                         "(exact; >=64-lane layouts, see ops/phase.py)")
+    p.add_argument("--fused_encoders", action="store_true",
+                   default=d.fused_encoders,
+                   help="run the XOLP+normals encoders as one groups=2 "
+                        "stack at 128 lanes (exact; "
+                        "models/pre_encoders.py:FusedModalityEncoders)")
     p.add_argument("--photometric_packed", action="store_true",
                    default=d.photometric_packed,
                    help="stacked channels-leading photometric losses for the "

@@ -173,6 +173,13 @@ class Config:
     # border-exact; tests/test_phase_decoder.py); differs from the unpacked
     # plan only by f32 reduction order.
     phase_packed_decoder: bool = False
+    # Fused modality encoders: run the XOLP + normals ShallowEncoders as a
+    # single feature_group_count=2 conv stack at 128 channels (a full v5e
+    # lane tile) instead of two independent 64-channel graphs.  Exactly the
+    # same math — groups never mix and BN/ReLU/pool are per-channel
+    # (models/pre_encoders.py:FusedModalityEncoders, parity-tested);
+    # requires augment_xolp AND augment_normals.
+    fused_encoders: bool = False
     donate_state: bool = True
     # Host PNG decode backend: "cv2" (python) or "native" (the C++ libpng
     # thread-pool decoder, polardepth_tpu.runtime — GIL-free batch decode).

@@ -50,7 +50,11 @@ def resnet_kernel_init(key, shape, dtype=jnp.float32):
 
 
 class TorchConv(nn.Module):
-    """nn.Conv with torch-default initialisation and integer zero padding."""
+    """nn.Conv with torch-default initialisation and integer zero padding.
+
+    groups > 1 executes a grouped conv (torch Conv2d(groups=G)); the
+    per-group fan-in drives the init so a groups=2 conv initialises
+    exactly like two independent convs stacked along cout."""
 
     features: int
     kernel_size: int
@@ -59,15 +63,18 @@ class TorchConv(nn.Module):
     use_bias: bool = True
     kernel_init: Callable = torch_conv_kernel_init
     zero_bias: bool = False  # zero-init bias instead of torch's uniform
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x):
-        fan_in = self.kernel_size * self.kernel_size * x.shape[-1]
+        fan_in = (self.kernel_size * self.kernel_size
+                  * x.shape[-1] // self.groups)
         return nn.Conv(
             self.features, (self.kernel_size, self.kernel_size),
             strides=(self.strides, self.strides),
             padding=[(self.padding, self.padding)] * 2,
             use_bias=self.use_bias,
+            feature_group_count=self.groups,
             kernel_init=self.kernel_init,
             bias_init=(nn.initializers.zeros if self.zero_bias
                        else torch_conv_bias_init(fan_in)),
@@ -143,12 +150,13 @@ class ConvBNReLUDrop(nn.Module):
     downsampling: str = "none"
     padding: int = 0
     dropout_rate: float = 0.1
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         stride = 2 if self.downsampling == "stride2" else 1
         x = TorchConv(self.features, self.kernel_size, strides=stride,
-                      padding=self.padding)(x)
+                      padding=self.padding, groups=self.groups)(x)
         x = _batch_norm(x, train)
         x = nn.relu(x)
         if self.downsampling == "maxpool":
@@ -167,11 +175,14 @@ class ResidualBlock(nn.Module):
     kernel_size: int = 3
     padding: int = 1
     dropout_rate: float = 0.1
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         out = ConvBNReLUDrop(self.features, self.kernel_size, "none",
-                             self.padding, self.dropout_rate)(x, train)
+                             self.padding, self.dropout_rate,
+                             groups=self.groups)(x, train)
         out = ConvBNReLUDrop(self.features, self.kernel_size, "none",
-                             self.padding, self.dropout_rate)(out, train)
+                             self.padding, self.dropout_rate,
+                             groups=self.groups)(out, train)
         return out + x

@@ -48,6 +48,10 @@ class PolarDepthNet(nn.Module):
     decoder_pad_mode: str = "reflect"  # "zero" = fast decoder (HBM saver)
     phase_packed_decoder: bool = False  # space-to-depth packed full-res
     # decoder stages (ops/phase.py) — exact same function, >=64-lane layout
+    fused_encoders: bool = False  # run the XOLP + normals encoders as ONE
+    # groups=2 conv stack at 128 channels (full lane tile) — exact same
+    # math (models/pre_encoders.py:FusedModalityEncoders); needs both
+    # augment_xolp and augment_normals
 
     @nn.compact
     def __call__(self, color: jnp.ndarray,
@@ -83,14 +87,27 @@ class PolarDepthNet(nn.Module):
         rgb_feats = ShallowResNet18Stem(cd, name="rgb_encoder")(color, train)
         xolp_feats = None
         normals_feats = None
-        if self.augment_xolp:
-            xolp_feats = ShallowEncoder(
-                "XOLP", self.dropout_rate, cd,
-                name="xolp_encoder")(xolp, train)
-        if self.augment_normals:
-            normals_feats = ShallowNormalsEncoder(
+        if self.fused_encoders and self.augment_xolp and self.augment_normals:
+            # one groups=2 stack at 128 lanes; its output IS
+            # [xolp_feats | normals_feats], which is exactly what both the
+            # attention's pol tokens and the JointEncoder concat consume
+            from polardepth_tpu.models.pre_encoders import (
+                FusedModalityEncoders)
+            xolp_feats = FusedModalityEncoders(
                 self.dropout_rate, self.refraction_index, cd,
-                name="normals_encoder")(xolp, train, priors=priors)
+                name="fused_encoders")(xolp, train, priors=priors)
+        elif self.fused_encoders:
+            raise ValueError(
+                "fused_encoders requires augment_xolp AND augment_normals")
+        else:
+            if self.augment_xolp:
+                xolp_feats = ShallowEncoder(
+                    "XOLP", self.dropout_rate, cd,
+                    name="xolp_encoder")(xolp, train)
+            if self.augment_normals:
+                normals_feats = ShallowNormalsEncoder(
+                    self.dropout_rate, self.refraction_index, cd,
+                    name="normals_encoder")(xolp, train, priors=priors)
         rgb_fused = rgb_feats[-1]
         if self.use_attention and (xolp_feats is not None
                                    or normals_feats is not None):

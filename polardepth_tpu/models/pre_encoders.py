@@ -84,6 +84,87 @@ class ShallowNormalsEncoder(nn.Module):
                               self.compute_dtype)(priors, train)
 
 
+class FusedModalityEncoders(nn.Module):
+    """XOLP + normals shallow encoders executed as ONE grouped-conv stack.
+
+    The two modality encoders are architecturally identical 64-channel
+    ShallowEncoders (reference pre_encoders.py:49-113) that never interact
+    until the JointEncoder concatenates their outputs.  Running them as a
+    single feature_group_count=2 graph at 128 channels is *mathematically
+    identical* (groups don't mix; BN/ReLU/pool/dropout are per-channel) but
+    TPU-shaped: 128 channels is a full v5e lane tile, so every conv/BN/pool
+    runs at 2x the lane utilisation of the separate 64-channel graphs and
+    half the op count / layout boundaries.
+
+    Only the two first convs stay ungrouped (cin 2 vs 9 differ); from the
+    first ResidualBlock on, everything is groups=2 at 128 channels.
+    Output: the (B, H/8, W/8, 128) concat [xolp_feats | normals_feats] that
+    the JointEncoder consumes (it concatenates them anyway, so no split is
+    needed).  `fuse_modality_params` converts a separate-encoder checkpoint
+    into this layout exactly.
+    """
+
+    dropout_rate: float = 0.1
+    refraction_index: float = 1.5
+    compute_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, xolp, train: bool = False, priors=None):
+        if priors is None:
+            priors = normal_priors_from_xolp(
+                xolp.astype(jnp.float32), self.refraction_index)
+        d = self.dropout_rate
+        a = normalize_input(xolp, "XOLP").astype(self.compute_dtype)
+        b = normalize_input(priors, "normals").astype(self.compute_dtype)
+        # ungrouped stems (different cin), concatenated at 128 channels
+        a = ConvBNReLUDrop(64, 7, "stride2", 3, d, name="stem_xolp")(a, train)
+        b = ConvBNReLUDrop(64, 7, "stride2", 3, d,
+                           name="stem_normals")(b, train)
+        x = jnp.concatenate([a, b], axis=-1)
+        x = ResidualBlock(128, 3, 1, d, groups=2)(x, train)
+        x = ConvBNReLUDrop(128, 5, "maxpool", 2, d, groups=2)(x, train)
+        x = ResidualBlock(128, 3, 1, d, groups=2)(x, train)
+        x = ConvBNReLUDrop(128, 5, "maxpool", 2, d, groups=2)(x, train)
+        x = ResidualBlock(128, 3, 1, d, groups=2)(x, train)
+        return x
+
+
+def fuse_modality_params(xolp_tree: dict, normals_tree: dict) -> dict:
+    """Convert two separate ShallowEncoder param/batch_stats subtrees into
+    the FusedModalityEncoders layout (exact: grouped-conv group g reads
+    input channels [64g:64g+64] with kernel slice [..., 64g:64g+64], which
+    is precisely the separate encoders stacked along cout).
+
+    Works on either the 'params' or the 'batch_stats' subtree; pass the
+    subtree rooted at the ShallowEncoder (i.e. containing ConvBNReLUDrop_0,
+    ResidualBlock_0, ...).  Note ShallowNormalsEncoder nests its trunk
+    under 'ShallowEncoder_0'.
+    """
+    import numpy as np
+
+    def cat(pa, pb):
+        if isinstance(pa, dict):
+            return {k: cat(pa[k], pb[k]) for k in pa}
+        pa, pb = np.asarray(pa), np.asarray(pb)
+        return np.concatenate([pa, pb], axis=-1)  # cout / channel axis
+
+    out = {"stem_xolp": xolp_tree["ConvBNReLUDrop_0"],
+           "stem_normals": normals_tree["ConvBNReLUDrop_0"]}
+    # explicit names don't consume flax's auto-name counters, so the fused
+    # trunk's ConvBNReLUDrop numbering starts at _0 while the separate
+    # encoders' stem already used _0:
+    mapping = {"ResidualBlock_0": "ResidualBlock_0",
+               "ConvBNReLUDrop_1": "ConvBNReLUDrop_0",
+               "ResidualBlock_1": "ResidualBlock_1",
+               "ConvBNReLUDrop_2": "ConvBNReLUDrop_1",
+               "ResidualBlock_2": "ResidualBlock_2"}
+    for sep_name, fused_name in mapping.items():
+        assert sep_name in xolp_tree, \
+            f"missing {sep_name} in separate encoder tree"
+        out[fused_name] = cat(xolp_tree[sep_name], normals_tree[sep_name])
+    return out
+
+
 class JointEncoder(nn.Module):
     """Fusion trunk over concatenated modality features.
 

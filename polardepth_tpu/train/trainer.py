@@ -63,6 +63,7 @@ def build_model(cfg: Config) -> PolarDepthNet:
         attention_gate=cfg.attention_gate,
         decoder_pad_mode="zero" if cfg.fast_decoder else "reflect",
         phase_packed_decoder=cfg.phase_packed_decoder,
+        fused_encoders=cfg.fused_encoders,
     )
 
 
