@@ -207,6 +207,10 @@ ROWS = {
     # reference's reflection padding (exact reference graph semantics).
     "infer_512_bf16_phase": lambda: measure_infer(
         compute_dtype="bfloat16", phase_packed_decoder=True),
+    # round-4: XOLP+normals encoders as one groups=2 stack at 128 lanes
+    "infer_512_bf16_phase_fusedenc": lambda: measure_infer(
+        compute_dtype="bfloat16", phase_packed_decoder=True,
+        fused_encoders=True),
     "train_512_f32": lambda: measure_train(batch=8, h=512, w=512),
     "train_512_bf16_fast": lambda: measure_train(
         batch=8, h=512, w=512, compute_dtype="bfloat16", fast_decoder=True),
@@ -221,6 +225,9 @@ ROWS = {
     "train_512_bf16_phase_packedloss": lambda: measure_train(
         batch=8, h=512, w=512, compute_dtype="bfloat16",
         phase_packed_decoder=True, photometric_packed=True),
+    "train_512_bf16_phase_fusedenc": lambda: measure_train(
+        batch=8, h=512, w=512, compute_dtype="bfloat16",
+        phase_packed_decoder=True, fused_encoders=True),
     "student_train_320x480_f32": lambda: measure_student_train(),
     "student_train_320x480_pallas": lambda: measure_student_train(
         warp_impl="pallas", cv_warp_impl="pallas8"),
@@ -272,6 +279,9 @@ def main():
     p.add_argument("--out", default=os.path.join(HERE, "bench_suite.json"))
     a = p.parse_args()
     results = {}
+    if os.path.exists(a.out):  # rows SKIPPED this run keep their value;
+        with open(a.out) as f:  # every attempted row is overwritten
+            results = json.load(f)
     for name, fn in ROWS.items():
         if a.skip_cpu and name == "cpu_infer_512_f32":
             continue
