@@ -38,17 +38,28 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
     if impl == "strip":
         return _grid_sample_strip(img, grid, padding_mode, align_corners)
     if impl.startswith("pallas"):
-        # "pallas" | "pallas16" | "pallas32_fast": the banded Pallas kernel
-        # (border mode, row-coherent grids; see ops/pallas/band_warp.py).
+        # "pallas" | "pallas16" | "pallas32_fast" | "pallas_fast_hx[384]":
+        # the banded Pallas kernel (border mode, row-coherent grids; see
+        # ops/pallas/band_warp.py).  "_hx[N]" adds the horizontal source
+        # window (default 256): exact while |ix - j| <= (N-128)/2.
         from polardepth_tpu.ops.pallas.band_warp import band_warp
         if padding_mode != "border":
             raise ValueError("impl='pallas*' supports padding_mode='border'")
         spec = impl[len("pallas"):]
+        rp = 1
+        if "_r" in spec and not spec.rpartition("_r")[2].startswith("hx") \
+                and spec.rpartition("_r")[2].isdigit():
+            spec, _, rps = spec.rpartition("_r")
+            rp = int(rps)
+        hx = 0
+        if "_hx" in spec:
+            spec, _, hxs = spec.rpartition("_hx")
+            hx = int(hxs) if hxs else 256
         fast = spec.endswith("_fast")
         spec = spec.removesuffix("_fast")
         k = int(spec) if spec else 32
         return band_warp(img, grid, k=k, align_corners=align_corners,
-                         fast=fast)
+                         fast=fast, hx=hx, rp=rp)
     if impl.startswith("band"):
         # "band" | "band64" | "band32_bf16" ...
         spec = impl[4:]

@@ -247,6 +247,12 @@ ROWS = {
     "student_train_320x480_phase_bf16_noremat": lambda: measure_student_train(
         warp_impl="pallas_fast", cv_warp_impl="pallas8_fast",
         compute_dtype="bfloat16", phase_packed_decoder=True, remat=False),
+    # round-4: the two wins compose? (noremat freed by bf16+Pallas HBM
+    # savings; packed losses halve the loss-elementwise dispatch count)
+    "student_train_320x480_packed_bf16_noremat": lambda: measure_student_train(
+        warp_impl="pallas_fast", cv_warp_impl="pallas8_fast",
+        compute_dtype="bfloat16", phase_packed_decoder=True,
+        photometric_packed=True, remat=False),
     "student_train_320x480_packed_bf16": lambda: measure_student_train(
         warp_impl="pallas_fast", cv_warp_impl="pallas8_fast",
         compute_dtype="bfloat16", phase_packed_decoder=True,

@@ -27,17 +27,31 @@ from profile_student import build, make_batch, H, W, B  # noqa: E402
 
 
 def main():
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--warp_impl", default="patch")
+    p.add_argument("--cv_warp_impl", default="xla")
+    p.add_argument("--compute_dtype", default="float32")
+    p.add_argument("--phase_packed_decoder", action="store_true")
+    p.add_argument("--photometric_packed", action="store_true")
+    p.add_argument("--no_remat", action="store_true")
+    p.add_argument("--out", default="/tmp/student_hlo.txt")
+    a = p.parse_args()
     cfg = Config(height=H, width=W, batch_size=B,
                  depth_supervision_only=False, depth_supervision=True,
-                 train_student=True, mesh_shape=(1,))
-    model, state, step, rng = build(cfg)
+                 train_student=True, mesh_shape=(1,),
+                 warp_impl=a.warp_impl, cv_warp_impl=a.cv_warp_impl,
+                 compute_dtype=a.compute_dtype,
+                 phase_packed_decoder=a.phase_packed_decoder,
+                 photometric_packed=a.photometric_packed)
+    model, state, step, rng = build(cfg, remat=not a.no_remat)
     batch = make_batch(cfg, np.random.default_rng(0))
     trackers = (jnp.float32(cfg.min_depth), jnp.float32(cfg.max_depth))
     lowered = step.lower(state, trackers,
                          jax.tree_util.tree_map(jnp.asarray, batch), rng)
     compiled = lowered.compile()
     txt = compiled.as_text()
-    out = "/tmp/student_hlo.txt"
+    out = a.out
     with open(out, "w") as f:
         f.write(txt)
     print(f"wrote {out} ({len(txt) / 1e6:.1f} MB)")

@@ -49,7 +49,7 @@ def make_batch(cfg, rng):
     return batch
 
 
-def build(cfg, bin_chunk=None):
+def build(cfg, bin_chunk=None, remat=True):
     import jax
     import jax.numpy as jnp
     from polardepth_tpu.train.student import (
@@ -64,6 +64,7 @@ def build(cfg, bin_chunk=None):
         compute_dtype=cfg.compute_dtype,
         cv_warp_impl=getattr(cfg, "cv_warp_impl", "xla"),
         phase_packed_decoder=cfg.phase_packed_decoder,
+        remat=remat,
         **({"bin_chunk": bin_chunk} if bin_chunk is not None else {}))
     rng = jax.random.PRNGKey(0)
     nf = len(cfg.frame_ids)
@@ -218,6 +219,7 @@ def main():
     p.add_argument("--fast_decoder", action="store_true")
     p.add_argument("--phase_packed_decoder", action="store_true")
     p.add_argument("--photometric_packed", action="store_true")
+    p.add_argument("--no_remat", action="store_true")
     a = p.parse_args()
 
     import jax
@@ -236,7 +238,7 @@ def main():
     batch = make_batch(cfg, rngs)
 
     def run_cfg(tag, cfg, pipelined_too=True, trace=False):
-        model, state, step, rng = build(cfg)
+        model, state, step, rng = build(cfg, remat=not a.no_remat)
         trackers = (jnp.float32(cfg.min_depth), jnp.float32(cfg.max_depth))
         dbatch = jax.device_put(batch)
         t_seq, state, trackers = time_steps(
