@@ -59,7 +59,23 @@ class SyntheticHammer:
     """
 
     def __init__(self, height: int = 320, width: int = 480, n: float = 1.5,
-                 num_objects: int = 4, seed: int = 0):
+                 num_objects: int = 4, seed: int = 0,
+                 degenerate_materials: tuple = ()):
+        """degenerate_materials: material NAMES (keys of MATERIAL_IDS, e.g.
+        ("glass", "cutlery")) rendered as *photometrically degenerate*
+        specular surfaces — the regime the reference was built for (its 10
+        household glass/metal items, manydepth/evaluation.py:242-264):
+
+          * RGB: flat untextured mid-gray — no Lambertian term, no texture,
+            so intensity carries NO geometry signal on these pixels;
+          * polarization: the SPECULAR Fresnel DoLP curve (strong response,
+            saturating near Brewster) with the specular AoLP convention
+            (polarization axis perpendicular to the plane of incidence,
+            i.e. azimuth + 90 deg) — the exact physics the network's
+            two-branch specular priors invert (ops/fresnel.py).
+
+        Default () keeps the legacy all-diffuse corpus (golden tests /
+        convergence baselines unchanged)."""
         self.height = height
         self.width = width
         self.n = n
@@ -67,6 +83,18 @@ class SyntheticHammer:
         self.seed = seed
         rho_d, theta_d = _diffuse_curve(n)
         self._rho_of_theta = (theta_d, rho_d)
+        # forward specular rho_s(theta) (the UNsplit curve; the two-branch
+        # split in ops/fresnel is for the inverse problem only)
+        theta = np.linspace(0.0, np.pi / 2, 1000)
+        s = np.sin(theta)
+        rho_s = (2.0 * s ** 2 * np.cos(theta) * np.sqrt(n ** 2 - s ** 2)) / (
+            n ** 2 - s ** 2 - n ** 2 * s ** 2 + 2.0 * s ** 4)
+        self._rho_spec_of_theta = (theta, rho_s)
+        unknown = [m for m in degenerate_materials if m not in MATERIAL_IDS]
+        if unknown:
+            raise ValueError(f"unknown degenerate materials {unknown}")
+        self.degenerate_ids = np.array(
+            [MATERIAL_IDS[m] for m in degenerate_materials], np.int32)
         # Normalized intrinsics follow the HAMMER convention
         # (indoor_dataset.py:262-275): fx=0.58W, fy=0.60H, c=(0.5W, 0.5H).
         K = np.eye(4, dtype=np.float32)
@@ -86,8 +114,18 @@ class SyntheticHammer:
         n_bg = np.array([tilt[0], tilt[1], 1.0])
         n_bg /= np.linalg.norm(n_bg)
         d_bg = rng.uniform(1.4, 1.9)
-        ids = rng.choice(list(MATERIAL_IDS.values())[:8], self.num_objects,
-                         replace=False)
+        if len(self.degenerate_ids):
+            # guarantee every scene contains the degenerate objects (the
+            # slice under study must exist in every eval frame)
+            pool = [m for m in list(MATERIAL_IDS.values())[:8]
+                    if m not in self.degenerate_ids]
+            n_rest = max(self.num_objects - len(self.degenerate_ids), 0)
+            ids = np.concatenate([
+                self.degenerate_ids,
+                rng.choice(pool, n_rest, replace=False)])[:self.num_objects]
+        else:
+            ids = rng.choice(list(MATERIAL_IDS.values())[:8],
+                             self.num_objects, replace=False)
         spheres = [(np.array([rng.uniform(-0.35, 0.35),
                               rng.uniform(-0.25, 0.25),
                               rng.uniform(0.7, 1.2)]),
@@ -156,13 +194,16 @@ class SyntheticHammer:
         p_w = o_w + d_w * s_hit[..., None]     # world hit points (texture anchor)
         return rng, depth, normals_cam, normals_w, d_cam, mask, p_w
 
-    def _polarize(self, rng, normals_cam, normals_w, d_cam, p_w):
+    def _polarize(self, rng, normals_cam, normals_w, d_cam, p_w, mask=None):
         """Fresnel forward model -> 4 uint8 captures + shading.
 
         Lambertian shading uses the WORLD-frame light direction so multiple
         views of a surface are photometrically consistent (required for the
         reprojection / cost-volume paths to have signal); the polarization
         state uses camera-frame normals — view-dependent by physics.
+
+        Pixels whose material id is in self.degenerate_ids switch to the
+        photometrically degenerate specular model (see __init__).
         """
         cos_t = np.clip(np.abs((normals_cam * -d_cam).sum(-1)), 0.0, 1.0)
         theta = np.arccos(cos_t)
@@ -180,6 +221,20 @@ class SyntheticHammer:
                * np.sin(31.0 * p_w[..., 1])
                + 0.07 * np.sin(53.0 * (p_w[..., 0] + p_w[..., 2])))
         shade = shade * tex
+
+        deg = None
+        if mask is not None and len(self.degenerate_ids):
+            deg = np.isin(mask, self.degenerate_ids)
+            # specular DoLP (strong, Brewster-saturating) with the specular
+            # AoLP convention (perpendicular to the plane of incidence)
+            theta_s_lut, rho_s_lut = self._rho_spec_of_theta
+            rho = np.where(deg, np.interp(theta, theta_s_lut, rho_s_lut),
+                           rho)
+            phi_s = np.arctan(np.tan(phi + np.pi / 2 + 1e-9))
+            phi = np.where(deg, phi_s, phi)
+            # RGB degeneracy: flat mid-gray — no Lambert, no texture; the
+            # intensity image carries zero shape information here
+            shade = np.where(deg, 0.55, shade)
         iun = 40.0 + 170.0 * shade
 
         angles = np.deg2rad([0.0, 45.0, 90.0, 135.0])
@@ -189,13 +244,17 @@ class SyntheticHammer:
 
         albedo = np.stack([0.9 * shade, 0.75 * shade + 0.05,
                            0.6 * shade + 0.1], axis=-1)
+        if deg is not None:
+            # neutral gray: no color cue either
+            albedo = np.where(deg[..., None], 0.55, albedo)
         rgb = np.clip(albedo * 255.0, 0, 255)
         return pol.astype(np.uint8), rgb.astype(np.uint8)
 
     def sample(self, index: int, frame: int = 0) -> dict:
         rng, depth, normals_cam, normals_w, d_cam, mask, p_w = \
             self._render_geometry(index, frame)
-        pol, rgb = self._polarize(rng, normals_cam, normals_w, d_cam, p_w)
+        pol, rgb = self._polarize(rng, normals_cam, normals_w, d_cam, p_w,
+                                  mask)
         d32 = depth.astype(np.float32)[..., None]
         return {
             "color": rgb,
@@ -237,13 +296,15 @@ class SyntheticHammer:
 
 def write_synthetic_scene(root: str, scene: str, num_frames: int = 12,
                           height: int = 320, width: int = 480,
-                          seed: int = 0) -> str:
+                          seed: int = 0,
+                          degenerate_materials: tuple = ()) -> str:
     """Dump a synthetic scene in the on-disk HAMMER layout so HammerIndex /
     HammerLoader can be exercised without the real dataset.  All frames view
     world #0 from the per-frame trajectory pose."""
     import cv2
 
-    gen = SyntheticHammer(height, width, seed=seed)
+    gen = SyntheticHammer(height, width, seed=seed,
+                          degenerate_materials=degenerate_materials)
     base = os.path.join(root, scene, "polarization")
     subdirs = ["rgb", "pol00", "pol01", "pol10", "pol11", "_instance",
                "_gt", "_pose"]

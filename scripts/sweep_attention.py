@@ -44,6 +44,15 @@ VARIANTS = [
                    attention_gate=True)),
 ]
 
+# Modality rows for the degenerate-corpus run (VERDICT r4 #3): on a corpus
+# whose glass/cutlery are photometrically degenerate, the headline claim of
+# the reference ("polarization rescues glass/metal", BASELINE.md slide
+# 33/39) predicts rgb << tri on those slices.
+MODALITY_VARIANTS = [
+    ("rgb", dict(use_attention=False, augment_xolp=False,
+                 augment_normals=False)),
+]
+
 
 def main():
     from run_ablations import build_corpus, run_one, METRICS
@@ -61,7 +70,13 @@ def main():
     p.add_argument("--scheduler_step_size", type=int, default=6)
     p.add_argument("--steps_per_call", type=int, default=8)
     p.add_argument("--partial", default="attention_sweep_partial.json")
+    p.add_argument("--degenerate", default="",
+                   help="comma-separated material names rendered "
+                        "photometrically degenerate (e.g. glass,cutlery); "
+                        "also adds the rgb-only modality row")
     a = p.parse_args()
+    degenerate = tuple(m for m in a.degenerate.split(",") if m)
+    variants = VARIANTS + (MODALITY_VARIANTS if degenerate else [])
 
     import jax
     jax.config.update("jax_compilation_cache_dir", os.path.join(
@@ -71,7 +86,8 @@ def main():
     log = print
 
     train_scenes, val_scenes = build_corpus(
-        a.root, a.train_scenes, a.val_scenes, a.frames, a.height, a.width)
+        a.root, a.train_scenes, a.val_scenes, a.frames, a.height, a.width,
+        degenerate=degenerate)
     base = Config(
         data_path=a.root, height=a.height, width=a.width,
         batch_size=a.batch_size, num_epochs=a.num_epochs,
@@ -84,7 +100,7 @@ def main():
             partial = json.load(f)
 
     results = []
-    for name, kw in VARIANTS:
+    for name, kw in variants:
         if name in partial:
             results.append((name, partial[name]["table"]))
             log(f"=== {name} === (cached)")
@@ -108,6 +124,12 @@ def main():
         jax.clear_caches()
 
     by = dict(results)
+    deg_note = (
+        f"  Corpus renders {', '.join(degenerate)} as photometrically "
+        "degenerate specular surfaces (flat gray RGB, specular Fresnel "
+        "DoLP/AoLP — data/synthetic.py) so the polarization channel carries "
+        "UNIQUE depth signal on those slices, matching the reference's "
+        "glass/metal regime." if degenerate else "")
     lines = [
         "# Attention-integration sweep (VERDICT r3 #6)",
         "",
@@ -116,10 +138,12 @@ def main():
         f"{a.width}x{a.height}, batch {a.batch_size}, {a.num_epochs} "
         "epochs, f32).  The bar: the attention row must AT LEAST match the "
         "tri-encoder (reference slide 39 has attention as its best "
-        "OBJECTS row).",
+        "OBJECTS row)." + deg_note,
         "",
     ]
-    for sl in ("objects", "all", "glass"):
+    slices = ("objects", "all", "glass") + (("cutlery",) if degenerate
+                                            else ())
+    for sl in slices:
         lines.append(f"## {sl.upper()}")
         lines.append("")
         lines.append("| variant | " + " | ".join(METRICS) + " |")
