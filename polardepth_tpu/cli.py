@@ -124,17 +124,23 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--use_pallas", action="store_true", default=d.use_pallas)
     p.add_argument("--no_use_pallas", dest="use_pallas", action="store_false")
     p.add_argument("--warp_impl", type=str, default=d.warp_impl,
-                   help="full-res reprojection sampler: patch | flat4 | "
-                        "pallas[<K>][_fast] (see config.py)")
+                   help="full-res reprojection sampler: auto (default: "
+                        "pallas_fast on TPU, patch elsewhere) | patch | "
+                        "flat4 | pallas[<K>][_fast] (see config.py)")
     p.add_argument("--cv_warp_impl", type=str, default=d.cv_warp_impl,
-                   help="plane-sweep sampler: xla | pallas[<K>][_fast] "
+                   help="plane-sweep sampler: auto (default: pallas8_fast "
+                        "on TPU, xla elsewhere) | xla | pallas[<K>][_fast] "
                         "(see models/cost_volume.py)")
     p.add_argument("--fast_decoder", action="store_true",
                    default=d.fast_decoder)
     p.add_argument("--phase_packed_decoder", action="store_true",
                    default=d.phase_packed_decoder,
                    help="space-to-depth packed full-res decoder stages "
-                        "(exact; >=64-lane layouts, see ops/phase.py)")
+                        "(exact; >=64-lane layouts, see ops/phase.py; "
+                        "ON by default)")
+    p.add_argument("--no_phase_packed_decoder", dest="phase_packed_decoder",
+                   action="store_false",
+                   help="unpacked (reference-shaped) decoder execution plan")
     p.add_argument("--fused_encoders", action="store_true",
                    default=d.fused_encoders,
                    help="run the XOLP+normals encoders as one groups=2 "

@@ -103,6 +103,11 @@ class Config:
     disable_automasking: bool = False
     v1_multiscale: bool = False
     # grid_sample strategy for the full-res reprojection warps:
+    #   "auto"   — DEFAULT since round 5: "pallas_fast" on TPU (the fastest
+    #              measured photometric sampler; single-pass bf16, ~1e-3
+    #              relative — an order of magnitude below the photometric
+    #              targets' own uint8 quantization), "patch" elsewhere.
+    #              See ops/warp.py:resolve_warp_impl.
     #   "patch"  — one (2,2,C)-window lax.gather, ~1.65x the 4-corner flat
     #              gathers inside the loss graph on v5e (index-rate-bound);
     #   "flat4"  — the reference-shaped 4-gather form;
@@ -110,7 +115,7 @@ class Config:
     #              pipelined band DMA + MXU one-hot lerp, custom VJP.
     # patch/flat4 numerics are identical; pallas is exact within its K-row
     # vertical-parallax envelope (all tested).
-    warp_impl: str = "patch"
+    warp_impl: str = "auto"
     # Packed photometric losses: evaluate the full self-sup / student
     # reprojection pyramid as ONE stacked channels-leading computation
     # (ops/losses.reprojection_loss_stacked) instead of per-(frame, scale)
@@ -119,12 +124,13 @@ class Config:
     # profile_student_r3_trace.json).  Same math (tested); only applies when
     # not v1_multiscale (per-scale resolutions can't stack).
     photometric_packed: bool = False
-    # plane-sweep (cost volume) sampler: "xla" = 4-corner gather (reference
-    # numerics), "pallas"/"pallas<K>"/"..._fast" = banded Pallas warp —
-    # identical on every unmasked pixel (the sweep's 2 px interior mask
-    # covers the padding-mode difference; tested).  Sweep is
-    # stop_gradient'ed, so this is forward-only.
-    cv_warp_impl: str = "xla"
+    # plane-sweep (cost volume) sampler: "auto" (DEFAULT since round 5:
+    # "pallas8_fast" on TPU, "xla" elsewhere — resolve_warp_impl), "xla" =
+    # 4-corner gather (reference numerics), "pallas"/"pallas<K>"/"..._fast"
+    # = banded Pallas warp — identical on every unmasked pixel (the sweep's
+    # 2 px interior mask covers the padding-mode difference; tested).
+    # Sweep is stop_gradient'ed, so this is forward-only.
+    cv_warp_impl: str = "auto"
 
     # ---- optimization -------------------------------------------------------
     batch_size: int = 12
@@ -146,6 +152,10 @@ class Config:
     post_process: bool = False
 
     # ---- TPU execution ------------------------------------------------------
+    # compute_dtype stays float32 by DEFAULT for bit-level parity with the
+    # reference's f32 graphs; the measured production/headline configuration
+    # is bfloat16 (bench.py, PERF.md).  bf16-vs-f32 accuracy deltas are
+    # bounded by the ablation suite's parity check (tests/test_bf16_parity).
     compute_dtype: str = "float32"   # "bfloat16" for the fast path
     # (-1,): all devices data-parallel; (d, s): 2-D ('data', 'spatial') mesh
     # that additionally splits image H over s-way spatial partitions.
@@ -171,8 +181,11 @@ class Config:
     # HBM tax the round-3 roofline flagged (decoder 2.55x above its floor).
     # Mathematically identical to the reference graph (same parameters,
     # border-exact; tests/test_phase_decoder.py); differs from the unpacked
-    # plan only by f32 reduction order.
-    phase_packed_decoder: bool = False
+    # plan only by f32 reduction order.  ON by default since round 5: this
+    # is the configuration the headline number measures (decoder AT its
+    # roofline floor), and checkpoints are layout-compatible either way.
+    # `--no_phase_packed_decoder` restores the unpacked execution plan.
+    phase_packed_decoder: bool = True
     # Fused modality encoders: run the XOLP + normals ShallowEncoders as a
     # single feature_group_count=2 conv stack at 128 channels (a full v5e
     # lane tile) instead of two independent 64-channel graphs.  Exactly the
@@ -180,6 +193,11 @@ class Config:
     # (models/pre_encoders.py:FusedModalityEncoders, parity-tested);
     # requires augment_xolp AND augment_normals.
     fused_encoders: bool = False
+    # Execution plan for the fused stack: "grouped" (feature_group_count=2,
+    # round-4 — measured -19% on infer: XLA's TPU grouped-conv lowering) or
+    # "dense" (block-diagonal dense convs, same params/math, full-lane
+    # contraction — layers.py:_DenseExpandConv).
+    fused_plan: str = "grouped"
     donate_state: bool = True
     # Host PNG decode backend: "cv2" (python) or "native" (the C++ libpng
     # thread-pool decoder, polardepth_tpu.runtime — GIL-free batch decode).

@@ -100,6 +100,8 @@ def build_cost_volume(current_feats, lookup_feats, rel_poses, K, inv_K,
 
     Returns (cost_volume (B, D, h, w), missing_mask (B, D, h, w)).
     """
+    from polardepth_tpu.ops.warp import resolve_warp_impl
+    warp_impl = resolve_warp_impl(warp_impl, cv=True)
     b, h, w, c = current_feats.shape
     f = lookup_feats.shape[1]
     d = depth_bins.shape[0]

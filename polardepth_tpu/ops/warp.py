@@ -15,6 +15,29 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def resolve_warp_impl(impl: str, cv: bool = False) -> str:
+    """Resolve the "auto" sampler choice at trace time (VERDICT r4 #2b).
+
+    On TPU, "auto" picks the banded Pallas kernels in their fast single-pass
+    bf16 form — the production choice measured fastest in bench_suite:
+      * photometric path -> "pallas_fast": ~1e-3 relative error, an order
+        of magnitude below the ~4e-3 uint8 quantization already present in
+        the photometric targets, and the backward pass (grads of a
+        min-reduced robust loss) tolerates far more;
+      * plane-sweep (cv=True) -> "pallas8_fast": the cost volume is
+        stop-gradient'ed and interior-masked, so the fast kernel is exact
+        on every surviving pixel (tested in tests/test_cost_volume.py).
+    Off TPU, "auto" keeps the exact XLA forms ("patch" / "xla").  Any
+    explicit impl string passes through untouched.
+    """
+    if impl != "auto":
+        return impl
+    import jax
+    if jax.default_backend() == "tpu":
+        return "pallas8_fast" if cv else "pallas_fast"
+    return "xla" if cv else "patch"
+
+
 def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
                 padding_mode: str = "border",
                 align_corners: bool = True,
@@ -33,6 +56,8 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
               rebases the weights instead of the indices).  4x fewer, 4x
               wider gather rows — the shape XLA's TPU gather emitter wants.
     """
+    if impl == "auto":
+        impl = resolve_warp_impl(impl)
     if impl == "patch":
         return _grid_sample_patch(img, grid, padding_mode, align_corners)
     if impl == "strip":

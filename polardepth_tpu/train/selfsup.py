@@ -41,7 +41,7 @@ from polardepth_tpu.ops.resize import (
 from polardepth_tpu.ops.se3 import (
     transformation_from_parameters, rotmat_to_rotvec,
 )
-from polardepth_tpu.ops.warp import grid_sample
+from polardepth_tpu.ops.warp import grid_sample, resolve_warp_impl
 from polardepth_tpu.train.losses import color_pyramid
 
 
@@ -294,7 +294,7 @@ def generate_images_pred(cfg: Config, disps: dict, poses: dict,
     depths = {}
     colors = color_frames.astype(jnp.float32)
     pyr = frames_pyramid(colors, cfg.scales, cfg.v1_multiscale)
-    impl = getattr(cfg, "warp_impl", "flat4")
+    impl = resolve_warp_impl(getattr(cfg, "warp_impl", "flat4"))
     # NOTE round-3 experiment: concatenating the per-scale grids into ONE
     # gather per frame (4x fewer, 4x larger gathers) forces all four
     # scales' warp temporaries live at once and OOMs a 16 GB v5e at the
@@ -529,7 +529,8 @@ def residual_reprojection_loss(cfg: Config, rng: jax.Array, pose_params,
         grid = project_3d(points, K, T_res, h, w)
         re_warped = grid_sample(src, grid, padding_mode="border",
                                 align_corners=True,
-                                impl=getattr(cfg, "warp_impl", "flat4"))
+                                impl=resolve_warp_impl(
+                                    getattr(cfg, "warp_impl", "flat4")))
         noise = jax.random.normal(
             jax.random.fold_in(rng, f + 128),  # fold_in needs non-negative
             (color0.shape[0], h, w, 1)) * 1e-5
