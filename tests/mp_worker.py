@@ -27,6 +27,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_cpu_collectives_implementation", "gloo")
+# persistent compile cache: the train-step compile dominates worker wall
+# time; repeat runs (tests + driver dryrun) hit the cache and finish in
+# seconds
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(
+    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.distributed.initialize(coordinator_address=f"localhost:{PORT}",
                            num_processes=NPROC, process_id=PID)
 

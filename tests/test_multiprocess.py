@@ -35,7 +35,8 @@ def _free_port() -> int:
 
 def launch_workers(nproc: int = 2, timeout: int = 900):
     """Run tests/mp_worker.py across nproc processes; returns
-    {(tag, pid): loss}."""
+    {(tag, pid): loss}.  On timeout the workers are killed through their
+    own Popen handles (never by pattern) so no orphan keeps the port/CPU."""
     port = _free_port()
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)
@@ -44,7 +45,13 @@ def launch_workers(nproc: int = 2, timeout: int = 900):
          str(i), str(nproc), str(port)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         cwd=REPO, env=env) for i in range(nproc)]
-    outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    try:
+        outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        raise
     losses = {}
     for out, p in zip(outs, procs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
