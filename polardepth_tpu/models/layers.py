@@ -49,12 +49,57 @@ def resnet_kernel_init(key, shape, dtype=jnp.float32):
     return std * jax.random.normal(key, shape, dtype)
 
 
+class _DenseExpandConv(nn.Module):
+    """Grouped conv executed as a DENSE conv with a block-diagonal kernel.
+
+    Parameters are created in the grouped shape (kh, kw, cin/G, cout) under
+    the same 'kernel'/'bias' names nn.Conv uses, so checkpoints are
+    interchangeable with the grouped execution.  At apply time the kernel
+    is zero-embedded into its (kh, kw, cin, cout) block-diagonal dense form
+    and run with feature_group_count=1: G x the MACs, but a full-lane-tile
+    contraction and none of XLA's grouped-conv lowering overhead.
+    Mathematically identical (the off-diagonal blocks are exactly zero)."""
+
+    features: int
+    kernel_size: int
+    strides: int
+    padding: int
+    use_bias: bool
+    kernel_init: Callable
+    bias_init: Callable
+    groups: int
+
+    @nn.compact
+    def __call__(self, x):
+        k, g, cin = self.kernel_size, self.groups, x.shape[-1]
+        kern = self.param("kernel", self.kernel_init,
+                          (k, k, cin // g, self.features))
+        cpg_in, cpg_out = cin // g, self.features // g
+        blocks = []
+        for i in range(g):
+            kg = kern[..., i * cpg_out:(i + 1) * cpg_out]
+            pads = [(0, 0)] * 2 + [(i * cpg_in, (g - 1 - i) * cpg_in), (0, 0)]
+            blocks.append(jnp.pad(kg, pads))
+        dense = jnp.concatenate(blocks, axis=-1).astype(x.dtype)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, dense.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x, dense, (self.strides, self.strides),
+            [(self.padding, self.padding)] * 2, dimension_numbers=dn)
+        if self.use_bias:
+            b = self.param("bias", self.bias_init, (self.features,))
+            y = y + b.astype(y.dtype)
+        return y
+
+
 class TorchConv(nn.Module):
     """nn.Conv with torch-default initialisation and integer zero padding.
 
     groups > 1 executes a grouped conv (torch Conv2d(groups=G)); the
     per-group fan-in drives the init so a groups=2 conv initialises
-    exactly like two independent convs stacked along cout."""
+    exactly like two independent convs stacked along cout.
+    dense_expand=True executes the grouped conv as a block-diagonal DENSE
+    conv (same params; see _DenseExpandConv)."""
 
     features: int
     kernel_size: int
@@ -64,11 +109,19 @@ class TorchConv(nn.Module):
     kernel_init: Callable = torch_conv_kernel_init
     zero_bias: bool = False  # zero-init bias instead of torch's uniform
     groups: int = 1
+    dense_expand: bool = False
 
     @nn.compact
     def __call__(self, x):
         fan_in = (self.kernel_size * self.kernel_size
                   * x.shape[-1] // self.groups)
+        bias_init = (nn.initializers.zeros if self.zero_bias
+                     else torch_conv_bias_init(fan_in))
+        if self.dense_expand and self.groups > 1:
+            return _DenseExpandConv(
+                self.features, self.kernel_size, self.strides, self.padding,
+                self.use_bias, self.kernel_init, bias_init, self.groups,
+                name="Conv_0")(x)  # nn.Conv's auto-name: same param tree
         return nn.Conv(
             self.features, (self.kernel_size, self.kernel_size),
             strides=(self.strides, self.strides),
@@ -76,8 +129,7 @@ class TorchConv(nn.Module):
             use_bias=self.use_bias,
             feature_group_count=self.groups,
             kernel_init=self.kernel_init,
-            bias_init=(nn.initializers.zeros if self.zero_bias
-                       else torch_conv_bias_init(fan_in)),
+            bias_init=bias_init,
             dtype=x.dtype,
         )(x)
 
@@ -151,12 +203,14 @@ class ConvBNReLUDrop(nn.Module):
     padding: int = 0
     dropout_rate: float = 0.1
     groups: int = 1
+    dense_expand: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         stride = 2 if self.downsampling == "stride2" else 1
         x = TorchConv(self.features, self.kernel_size, strides=stride,
-                      padding=self.padding, groups=self.groups)(x)
+                      padding=self.padding, groups=self.groups,
+                      dense_expand=self.dense_expand)(x)
         x = _batch_norm(x, train)
         x = nn.relu(x)
         if self.downsampling == "maxpool":
@@ -176,13 +230,16 @@ class ResidualBlock(nn.Module):
     padding: int = 1
     dropout_rate: float = 0.1
     groups: int = 1
+    dense_expand: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         out = ConvBNReLUDrop(self.features, self.kernel_size, "none",
                              self.padding, self.dropout_rate,
-                             groups=self.groups)(x, train)
+                             groups=self.groups,
+                             dense_expand=self.dense_expand)(x, train)
         out = ConvBNReLUDrop(self.features, self.kernel_size, "none",
                              self.padding, self.dropout_rate,
-                             groups=self.groups)(out, train)
+                             groups=self.groups,
+                             dense_expand=self.dense_expand)(out, train)
         return out + x

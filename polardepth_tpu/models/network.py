@@ -52,6 +52,8 @@ class PolarDepthNet(nn.Module):
     # groups=2 conv stack at 128 channels (full lane tile) — exact same
     # math (models/pre_encoders.py:FusedModalityEncoders); needs both
     # augment_xolp and augment_normals
+    fused_plan: str = "grouped"  # "grouped" | "dense" execution plan for
+    # the fused stack (see FusedModalityEncoders.plan)
 
     @nn.compact
     def __call__(self, color: jnp.ndarray,
@@ -95,6 +97,7 @@ class PolarDepthNet(nn.Module):
                 FusedModalityEncoders)
             xolp_feats = FusedModalityEncoders(
                 self.dropout_rate, self.refraction_index, cd,
+                plan=self.fused_plan,
                 name="fused_encoders")(xolp, train, priors=priors)
         elif self.fused_encoders:
             raise ValueError(

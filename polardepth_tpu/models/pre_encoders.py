@@ -107,6 +107,12 @@ class FusedModalityEncoders(nn.Module):
     dropout_rate: float = 0.1
     refraction_index: float = 1.5
     compute_dtype: str = "float32"
+    # "grouped": feature_group_count=2 convs (round-4 plan; measured -19%
+    # on infer — XLA's TPU grouped-conv lowering is the problem, PERF.md
+    # round-5).  "dense": the same params executed as block-diagonal DENSE
+    # convs (2x MACs, full 128-lane contraction, zero grouped-lowering
+    # overhead; exactly the same math — layers.py:_DenseExpandConv).
+    plan: str = "grouped"
 
     @nn.compact
     def __call__(self, xolp, train: bool = False, priors=None):
@@ -114,6 +120,7 @@ class FusedModalityEncoders(nn.Module):
             priors = normal_priors_from_xolp(
                 xolp.astype(jnp.float32), self.refraction_index)
         d = self.dropout_rate
+        dense = self.plan == "dense"
         a = normalize_input(xolp, "XOLP").astype(self.compute_dtype)
         b = normalize_input(priors, "normals").astype(self.compute_dtype)
         # ungrouped stems (different cin), concatenated at 128 channels
@@ -121,11 +128,13 @@ class FusedModalityEncoders(nn.Module):
         b = ConvBNReLUDrop(64, 7, "stride2", 3, d,
                            name="stem_normals")(b, train)
         x = jnp.concatenate([a, b], axis=-1)
-        x = ResidualBlock(128, 3, 1, d, groups=2)(x, train)
-        x = ConvBNReLUDrop(128, 5, "maxpool", 2, d, groups=2)(x, train)
-        x = ResidualBlock(128, 3, 1, d, groups=2)(x, train)
-        x = ConvBNReLUDrop(128, 5, "maxpool", 2, d, groups=2)(x, train)
-        x = ResidualBlock(128, 3, 1, d, groups=2)(x, train)
+        x = ResidualBlock(128, 3, 1, d, groups=2, dense_expand=dense)(x, train)
+        x = ConvBNReLUDrop(128, 5, "maxpool", 2, d, groups=2,
+                           dense_expand=dense)(x, train)
+        x = ResidualBlock(128, 3, 1, d, groups=2, dense_expand=dense)(x, train)
+        x = ConvBNReLUDrop(128, 5, "maxpool", 2, d, groups=2,
+                           dense_expand=dense)(x, train)
+        x = ResidualBlock(128, 3, 1, d, groups=2, dense_expand=dense)(x, train)
         return x
 
 

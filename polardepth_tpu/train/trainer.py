@@ -64,6 +64,7 @@ def build_model(cfg: Config) -> PolarDepthNet:
         decoder_pad_mode="zero" if cfg.fast_decoder else "reflect",
         phase_packed_decoder=cfg.phase_packed_decoder,
         fused_encoders=cfg.fused_encoders,
+        fused_plan=getattr(cfg, "fused_plan", "grouped"),
     )
 
 

@@ -112,3 +112,24 @@ def test_network_fused_matches_separate_with_converted_params():
         np.testing.assert_allclose(
             np.asarray(out_fused[("disp", s)]),
             np.asarray(out_sep[("disp", s)]), rtol=2e-5, atol=2e-5)
+
+
+def test_dense_plan_matches_grouped(separate_and_fused):
+    """plan="dense" (block-diagonal dense convs, layers._DenseExpandConv)
+    shares the grouped param tree and must reproduce its outputs exactly
+    (off-diagonal kernel blocks are exact zeros)."""
+    xolp, _, _, _, _, fused, vf = separate_and_fused
+    vfj = jax.tree_util.tree_map(jnp.asarray, vf)
+    ref = fused.apply(vfj, xolp)
+    dense = FusedModalityEncoders(dropout_rate=0.0, plan="dense")
+    got = dense.apply(vfj, xolp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-6, atol=2e-6)
+    # a fresh dense init creates the SAME (grouped-shape) param tree
+    vi = dense.init(jax.random.PRNGKey(0), xolp)
+    ref_shapes = {jax.tree_util.keystr(p): np.asarray(x).shape
+                  for p, x in jax.tree_util.tree_leaves_with_path(
+                      vf["params"])}
+    for p, x in jax.tree_util.tree_leaves_with_path(vi["params"]):
+        k = jax.tree_util.keystr(p)
+        assert k in ref_shapes and ref_shapes[k] == x.shape, (k, x.shape)
