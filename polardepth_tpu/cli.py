@@ -146,6 +146,12 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                    help="run the XOLP+normals encoders as one groups=2 "
                         "stack at 128 lanes (exact; "
                         "models/pre_encoders.py:FusedModalityEncoders)")
+    p.add_argument("--photometric_dtype", type=str,
+                   default=d.photometric_dtype,
+                   choices=("auto", "float32", "bfloat16"),
+                   help="storage dtype of the photometric loss tensors "
+                        "(auto = follow compute_dtype; math is always f32 "
+                        "— see ops/losses.py)")
     p.add_argument("--photometric_packed", action="store_true",
                    default=d.photometric_packed,
                    help="stacked channels-leading photometric losses for the "

@@ -124,6 +124,14 @@ class Config:
     # profile_student_r3_trace.json).  Same math (tested); only applies when
     # not v1_multiscale (per-scale resolutions can't stack).
     photometric_packed: bool = False
+    # Storage dtype for the photometric tensors (warped predictions + color
+    # pyramids) feeding the reprojection losses: "auto" follows
+    # compute_dtype (bf16 maps quantize at ~4e-3 — the same scale as the
+    # images' own uint8/255 quantization — and halve the loss graph's
+    # autodiff-residual HBM traffic), "float32"/"bfloat16" pin it.  The
+    # loss ARITHMETIC is always float32 (ops/losses.py upcasts internally;
+    # SSIM variances would cancel catastrophically in bf16).
+    photometric_dtype: str = "auto"
     # plane-sweep (cost volume) sampler: "auto" (DEFAULT since round 5:
     # "pallas8_fast" on TPU, "xla" elsewhere — resolve_warp_impl), "xla" =
     # 4-corner gather (reference numerics), "pallas"/"pallas<K>"/"..._fast"

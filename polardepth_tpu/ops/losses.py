@@ -53,7 +53,10 @@ def supervised_normals_loss(depth_gt: jnp.ndarray, depth_pred: jnp.ndarray,
 
 def smooth_loss(disp: jnp.ndarray, img: jnp.ndarray) -> jnp.ndarray:
     """Edge-aware first-order disparity smoothness (layers.py:452-465).
-    disp: (B,H,W,1); img: (B,H,W,3) at the same scale."""
+    disp: (B,H,W,1); img: (B,H,W,3) at the same scale (any storage dtype —
+    the arithmetic is float32)."""
+    disp = disp.astype(jnp.float32)
+    img = img.astype(jnp.float32)
     grad_disp_x = jnp.abs(disp[:, :, :-1, :] - disp[:, :, 1:, :])
     grad_disp_y = jnp.abs(disp[:, :-1, :, :] - disp[:, 1:, :, :])
     grad_img_x = jnp.mean(jnp.abs(img[:, :, :-1, :] - img[:, :, 1:, :]),
@@ -76,7 +79,15 @@ def _avg_pool3(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def ssim(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """Per-pixel (1 - SSIM)/2 clamped to [0, 1] (layers.py:468-499)."""
+    """Per-pixel (1 - SSIM)/2 clamped to [0, 1] (layers.py:468-499).
+
+    Math runs in float32 regardless of the input storage dtype: the
+    variance terms (E[x^2] - mu^2) would cancel catastrophically in bf16
+    (texture variances ~1e-3 vs bf16 resolution ~8e-3 at 1.0).  bf16
+    INPUTS are still worthwhile — they are what autodiff stores for the
+    backward pass (see Config.photometric_dtype)."""
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
     c1 = 0.01 ** 2
     c2 = 0.03 ** 2
     mu_x = _avg_pool3(x)
@@ -92,8 +103,11 @@ def ssim(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 def reprojection_loss(pred: jnp.ndarray, target: jnp.ndarray,
                       use_ssim: bool = True) -> jnp.ndarray:
     """Per-pixel photometric loss, channel-averaged to (B,H,W,1)
-    (trainer.py:1069-1081)."""
-    l1 = jnp.mean(jnp.abs(target - pred), axis=-1, keepdims=True)
+    (trainer.py:1069-1081).  Inputs may be bf16 storage (see ssim's
+    docstring); the arithmetic is always float32."""
+    l1 = jnp.mean(jnp.abs(target.astype(jnp.float32)
+                          - pred.astype(jnp.float32)),
+                  axis=-1, keepdims=True)
     if not use_ssim:
         return l1
     s = jnp.mean(ssim(pred, target), axis=-1, keepdims=True)
@@ -116,6 +130,8 @@ def ssim_hw(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Per-pixel (1 - SSIM)/2 with H, W as the LAST TWO dims; x and y may
     have broadcasting leading dims (e.g. y = one target shared by N
     predictions).  Identical math to ssim()."""
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
     c1 = 0.01 ** 2
     c2 = 0.03 ** 2
     mu_x = _avg_pool3_hw(x)
@@ -126,6 +142,35 @@ def ssim_hw(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     ssim_n = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
     ssim_d = (mu_x ** 2 + mu_y ** 2 + c1) * (sigma_x + sigma_y + c2)
     return jnp.clip((1.0 - ssim_n / ssim_d) * 0.5, 0.0, 1.0)
+
+
+def photometric_storage_dtype(cfg):
+    """Storage dtype for the photometric tensors (warped predictions +
+    color pyramids) feeding the reprojection losses, or None for f32.
+
+    cfg.photometric_dtype "auto" follows cfg.compute_dtype: when the trunk
+    already runs bf16, the photometric maps quantize at ~4e-3 relative —
+    the same scale as the uint8/255 quantization of the images themselves —
+    and halve the loss graph's autodiff-residual HBM traffic (the dominant
+    trace bucket, profile_student_r4.json).  All loss ARITHMETIC stays f32
+    (ssim/reprojection_loss upcast internally)."""
+    d = getattr(cfg, "photometric_dtype", "auto")
+    if d == "auto":
+        d = getattr(cfg, "compute_dtype", "float32")
+    return None if d == "float32" else d
+
+
+def cast_photometric(cfg, tree):
+    """Cast every float32 leaf of a photometric tensor tree to the storage
+    dtype (no-op when that is f32)."""
+    import jax
+
+    sd = photometric_storage_dtype(cfg)
+    if sd is None:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(sd)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
 
 
 def reprojection_loss_stacked(preds: jnp.ndarray, target: jnp.ndarray,
@@ -148,7 +193,8 @@ def reprojection_loss_stacked(preds: jnp.ndarray, target: jnp.ndarray,
     """
     p = jnp.transpose(preds, (0, 1, 4, 2, 3))          # (B, N, C, H, W)
     t = jnp.transpose(target, (0, 3, 1, 2))[:, None]   # (B, 1, C, H, W)
-    l1 = jnp.mean(jnp.abs(t - p), axis=2)              # (B, N, H, W)
+    l1 = jnp.mean(jnp.abs(t.astype(jnp.float32)
+                          - p.astype(jnp.float32)), axis=2)  # (B, N, H, W)
     if not use_ssim:
         return l1
     s = jnp.mean(ssim_hw(p, t), axis=2)

@@ -33,7 +33,8 @@ from polardepth_tpu.ops.camera import (
 )
 from polardepth_tpu.ops.depth import disp_to_depth
 from polardepth_tpu.ops.losses import (
-    reprojection_loss, reprojection_loss_stacked, smooth_loss,
+    cast_photometric, reprojection_loss, reprojection_loss_stacked,
+    smooth_loss,
 )
 from polardepth_tpu.ops.resize import (
     resize_bilinear, resize_antialias,
@@ -360,6 +361,9 @@ def _selfsup_losses_packed(cfg: Config, rng: jax.Array, disps: dict,
         src0 = frames_pyramid(batch["color_frames"], cfg.scales,
                               False)[0]
         stack += [src0[:, frame_idx[f]] for f in frames]
+    # bf16 storage when the trunk is bf16 (arithmetic stays f32; see
+    # ops/losses.photometric_storage_dtype)
+    stack, target = cast_photometric(cfg, (stack, target))
     all_loss = reprojection_loss_stacked(
         jnp.stack(stack, axis=1), target, not cfg.no_ssim)  # (B, N, H, W)
 
@@ -421,9 +425,13 @@ def selfsup_losses(cfg: Config, rng: jax.Array, disps: dict, warped: dict,
     if cfg.photometric_packed and not cfg.v1_multiscale:
         return _selfsup_losses_packed(cfg, rng, disps, warped, depths, batch)
     color0 = batch["color"]             # clean (non-aug) frame-0 pyramid src
-    pyr = color_pyramid(color0, cfg.scales)
-    src_pyr = frames_pyramid(batch["color_frames"], cfg.scales,
-                             cfg.v1_multiscale)
+    # photometric storage dtype (bf16 when compute_dtype is bf16 — see
+    # ops/losses.photometric_storage_dtype; arithmetic stays f32)
+    pyr = cast_photometric(cfg, color_pyramid(color0, cfg.scales))
+    src_pyr = cast_photometric(cfg, frames_pyramid(
+        batch["color_frames"], cfg.scales, cfg.v1_multiscale))
+    warped = cast_photometric(
+        cfg, {k: v for k, v in warped.items() if k[0] == "color"})
     frames = [f for f in cfg.frame_ids if f != 0]
     frame_idx = {f: i for i, f in enumerate(cfg.frame_ids)}
 

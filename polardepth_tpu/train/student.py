@@ -167,7 +167,8 @@ def _student_losses_packed(cfg: Config, rng: jax.Array, student_disps: dict,
     computation (see ops.losses.reprojection_loss_stacked) — same math as
     the per-(frame, scale) path, parity-tested.  Valid only when not
     v1_multiscale (single full-res target)."""
-    from polardepth_tpu.ops.losses import reprojection_loss_stacked
+    from polardepth_tpu.ops.losses import (
+        cast_photometric, reprojection_loss_stacked)
     from polardepth_tpu.train.selfsup import _packed_reduce
 
     color0 = batch["color"]
@@ -175,9 +176,10 @@ def _student_losses_packed(cfg: Config, rng: jax.Array, student_disps: dict,
     frames = [f for f in cfg.frame_ids if f != 0]
     nf, ns = len(frames), len(cfg.scales)
 
-    stack = jnp.stack(
-        [warped[("color", f, s)] for s in cfg.scales for f in frames], axis=1)
-    all_loss = reprojection_loss_stacked(stack, pyr[0], not cfg.no_ssim)
+    stack = jnp.stack(cast_photometric(cfg, [
+        warped[("color", f, s)] for s in cfg.scales for f in frames]), axis=1)
+    all_loss = reprojection_loss_stacked(
+        stack, cast_photometric(cfg, pyr[0]), not cfg.no_ssim)
     per_scale = _packed_reduce(
         all_loss.reshape((-1, ns, nf) + all_loss.shape[2:]),
         cfg.avg_reprojection)                       # (B, S, H, W)
@@ -226,8 +228,11 @@ def student_losses(cfg: Config, rng: jax.Array, student_disps: dict,
         return _student_losses_packed(
             cfg, rng, student_disps, warped, depths, mono_depths,
             consistency_mask, aug_mask, batch)
+    from polardepth_tpu.ops.losses import cast_photometric
     color0 = batch["color"]
-    pyr = color_pyramid(color0, cfg.scales)
+    pyr = cast_photometric(cfg, color_pyramid(color0, cfg.scales))
+    warped = cast_photometric(
+        cfg, {k: v for k, v in warped.items() if k[0] == "color"})
     frames = [f for f in cfg.frame_ids if f != 0]
 
     logs = {}

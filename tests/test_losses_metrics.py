@@ -185,3 +185,50 @@ def test_rot_from_axisangle_is_rotation():
     eye = np.einsum("bij,bkj->bik", R, R)
     np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape),
                                atol=1e-5)
+
+
+def test_photometric_storage_dtype():
+    """bf16 photometric STORAGE (Config.photometric_dtype) must leave the
+    loss arithmetic f32 and perturb values only at the quantization scale
+    (~4e-3 relative — the images' own uint8 step), and "auto" must resolve
+    through compute_dtype."""
+    import jax.numpy as jnp
+    from polardepth_tpu.config import Config
+    from polardepth_tpu.ops.losses import (
+        cast_photometric, photometric_storage_dtype, reprojection_loss,
+        reprojection_loss_stacked)
+
+    assert photometric_storage_dtype(Config()) is None
+    assert photometric_storage_dtype(
+        Config(compute_dtype="bfloat16")) == "bfloat16"
+    assert photometric_storage_dtype(
+        Config(compute_dtype="bfloat16", photometric_dtype="float32")) is None
+    assert photometric_storage_dtype(
+        Config(photometric_dtype="bfloat16")) == "bfloat16"
+
+    rng = np.random.default_rng(0)
+    pred = jnp.asarray(rng.uniform(0, 1, (2, 24, 32, 3)), jnp.float32)
+    tgt = jnp.asarray(rng.uniform(0, 1, (2, 24, 32, 3)), jnp.float32)
+    ref = reprojection_loss(pred, tgt)
+    assert ref.dtype == jnp.float32
+
+    cfg16 = Config(compute_dtype="bfloat16")
+    p16, t16 = cast_photometric(cfg16, (pred, tgt))
+    assert p16.dtype == jnp.bfloat16
+    got = reprojection_loss(p16, t16)
+    assert got.dtype == jnp.float32  # arithmetic stays f32
+    np.testing.assert_allclose(np.asarray(got).mean(),
+                               np.asarray(ref).mean(), rtol=2e-2)
+
+    # stacked path agrees with itself under the same storage quantization
+    stack = jnp.stack([pred, tgt], axis=1)
+    s_ref = reprojection_loss_stacked(stack, tgt)
+    s_got = reprojection_loss_stacked(stack.astype(jnp.bfloat16),
+                                      t16)
+    assert s_got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(s_got).mean(),
+                               np.asarray(s_ref).mean(), rtol=2e-2)
+
+    # f32 config: cast is a no-op object-wise
+    same = cast_photometric(Config(), pred)
+    assert same is pred or same.dtype == jnp.float32
