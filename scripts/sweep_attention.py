@@ -160,14 +160,23 @@ def main():
                      f"{g:.4f} (init 0.1).")
         lines.append("")
     try:
+        modality_rows = {n for n, _ in MODALITY_VARIANTS}
         tri = by["tri"]["objects"]["a1"]
         best_name, best = max(
-            ((n, t["objects"]["a1"]) for n, t in results if n != "tri"),
+            ((n, t["objects"]["a1"]) for n, t in results
+             if n != "tri" and n not in modality_rows),
             key=lambda x: x[1])
         verdict = ("CLEARS the tri-encoder bar"
                    if best >= tri else "still below the tri-encoder")
         lines.append(f"**Verdict:** best attention variant `{best_name}` "
                      f"OBJECTS a1 {best:.5f} vs tri {tri:.5f} — {verdict}.")
+        if degenerate and "rgb" in by:
+            rgb = by["rgb"]["objects"]["a1"]
+            rel = "ABOVE" if rgb > tri else "below"
+            lines.append(
+                f"The rgb-only modality row lands {rel} tri on OBJECTS "
+                f"(a1 {rgb:.5f} vs {tri:.5f}) — see the analysis section "
+                "for what that says about the corpus.")
     except KeyError:
         pass
     with open(a.out, "w") as f:
