@@ -77,10 +77,20 @@ def main():
           for k in TRAIN_BATCH_KEYS}
 
     step = jax.jit(make_train_step(model, cfg))
-    new_state, logs = step(state, gb, jax.random.PRNGKey(1))
+    # AOT-compile BEFORE the first collective executes, then rendezvous at
+    # the coordination-service barrier: on a 1-core host the two workers'
+    # first compiles can skew by minutes (persistent-cache misses compile
+    # serially on the shared core), and gloo's rendezvous inside the first
+    # executed collective times out at a fixed 30 s.  The barrier has its
+    # own generous timeout, so compile skew never spans the gloo window.
+    compiled = step.lower(state, gb, jax.random.PRNGKey(1)).compile()
+    from jax._src.distributed import global_state  # jax 0.9 location
+    global_state.client.wait_at_barrier("mp_worker_compiled",
+                                        timeout_in_ms=40 * 60 * 1000)
+    new_state, logs = compiled(state, gb, jax.random.PRNGKey(1))
     print(f"MP_LOSS {PID} {float(logs['loss']):.10f}", flush=True)
     # one more step to exercise the grad all-reduce on updated params too
-    _, logs2 = step(new_state, gb, jax.random.PRNGKey(2))
+    _, logs2 = compiled(new_state, gb, jax.random.PRNGKey(2))
     print(f"MP_LOSS2 {PID} {float(logs2['loss']):.10f}", flush=True)
 
 
