@@ -146,6 +146,14 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                    help="run the XOLP+normals encoders as one groups=2 "
                         "stack at 128 lanes (exact; "
                         "models/pre_encoders.py:FusedModalityEncoders)")
+    p.add_argument("--student_remat", action="store_true",
+                   default=d.student_remat,
+                   help="rematerialise teacher/encoder/decoder activations "
+                        "in the student backward pass (lower peak HBM; "
+                        "default off — the noremat step is faster and fits "
+                        "the published geometry, student_memory.json)")
+    p.add_argument("--no_student_remat", dest="student_remat",
+                   action="store_false")
     p.add_argument("--photometric_dtype", type=str,
                    default=d.photometric_dtype,
                    choices=("auto", "float32", "bfloat16"),
@@ -544,7 +552,8 @@ def _train_alternative_path(cfg: Config, a, writer) -> int:
             compute_dtype=cfg.compute_dtype,
             cv_warp_impl=cfg.cv_warp_impl,
             decoder_pad_mode="zero" if cfg.fast_decoder else "reflect",
-            phase_packed_decoder=cfg.phase_packed_decoder)
+            phase_packed_decoder=cfg.phase_packed_decoder,
+            remat=cfg.student_remat)
         data_fn, spe = _make_multiframe_data(cfg, a, "train")
         eval_fn, _ = _make_multiframe_data(
             cfg, a, "val" if not a.synthetic else "train")

@@ -206,6 +206,14 @@ class Config:
     # "dense" (block-diagonal dense convs, same params/math, full-lane
     # contraction — layers.py:_DenseExpandConv).
     fused_plan: str = "grouped"
+    # Rematerialisation in the teacher-student (cost-volume) train step.
+    # True re-computes the teacher/encoder/decoder activations in the
+    # backward pass (lower peak HBM); False keeps them resident and is the
+    # measured-fastest configuration (bench_suite student rows).  The
+    # default is set from scripts/check_student_memory.py's AOT memory
+    # analysis of the published 320x480 batch-12 geometry — see
+    # student_memory.json for the peak-HBM numbers behind it.
+    student_remat: bool = False
     donate_state: bool = True
     # Host PNG decode backend: "cv2" (python) or "native" (the C++ libpng
     # thread-pool decoder, polardepth_tpu.runtime — GIL-free batch decode).

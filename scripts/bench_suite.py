@@ -143,7 +143,9 @@ def measure_student_train(batch=12, h=320, w=480, chain=4, reps=5,
         cv_warp_impl=getattr(cfg, "cv_warp_impl", "xla"),
         decoder_pad_mode="zero" if cfg.fast_decoder else "reflect",
         phase_packed_decoder=cfg.phase_packed_decoder,
-        **({} if remat is None else {"remat": remat}))  # None = model default
+        # None = the shipped default (Config.student_remat), so the
+        # "defaults" row always measures what the CLI actually runs
+        remat=cfg.student_remat if remat is None else remat)
     rng = jax.random.PRNGKey(0)
     nf = len(cfg.frame_ids)
     n_lookup = len(cfg.matching_ids) - 1
@@ -278,9 +280,9 @@ ROWS = {
         warp_impl="pallas", cv_warp_impl="pallas8",
         photometric_packed=True, phase_packed_decoder=False),
     # round-5: the SHIPPED DEFAULTS (warp_impl/cv_warp_impl "auto" ->
-    # pallas_fast/pallas8_fast on TPU, phase-packed decoder, StudentModel's
-    # default remat) + the bf16 fast-path dtype — VERDICT r4 #2's ">=30 fps
-    # with the shipped defaults" row
+    # pallas_fast/pallas8_fast on TPU, phase-packed decoder,
+    # Config.student_remat) + the bf16 fast-path dtype — VERDICT r4 #2's
+    # ">=30 fps with the shipped defaults" row
     "student_train_320x480_defaults_bf16": lambda: measure_student_train(
         compute_dtype="bfloat16"),
     "cpu_infer_512_f32": lambda: measure_cpu_baseline(),
