@@ -60,7 +60,8 @@ class SyntheticHammer:
 
     def __init__(self, height: int = 320, width: int = 480, n: float = 1.5,
                  num_objects: int = 4, seed: int = 0,
-                 degenerate_materials: tuple = ()):
+                 degenerate_materials: tuple = (),
+                 transmissive_materials: tuple = ()):
         """degenerate_materials: material NAMES (keys of MATERIAL_IDS, e.g.
         ("glass", "cutlery")) rendered as *photometrically degenerate*
         specular surfaces — the regime the reference was built for (its 10
@@ -73,6 +74,23 @@ class SyntheticHammer:
             (polarization axis perpendicular to the plane of incidence,
             i.e. azimuth + 90 deg) — the exact physics the network's
             two-branch specular priors invert (ops/fresnel.py).
+
+        transmissive_materials: material names rendered as thin TRANSPARENT
+        surfaces.  Textureless-but-opaque turned out to be *easy* for
+        RGB-only supervised depth (contour + context pin the shape —
+        ATTENTION_SWEEP_DEGEN.md analysis); what defeats RGB on real glass
+        is photometry that is MISLEADING, not missing: the camera sees the
+        background *through* the object while the true surface sits closer.
+        Transmissive pixels therefore render:
+
+          * RGB: the background plane's shading+texture continued along the
+            ray past the object (thin-surface approximation — no refractive
+            bend, x0.82 transmission loss), so intensity cues point at the
+            BACKGROUND depth while depth_gt stays at the surface;
+          * polarization: transmitted (background) intensity, but DoLP/AoLP
+            from the SURFACE's specular Fresnel reflection — the one channel
+            that still carries surface-true geometry, as in the reference's
+            glass regime (BASELINE.md slides 33/39).
 
         Default () keeps the legacy all-diffuse corpus (golden tests /
         convergence baselines unchanged)."""
@@ -90,11 +108,18 @@ class SyntheticHammer:
         rho_s = (2.0 * s ** 2 * np.cos(theta) * np.sqrt(n ** 2 - s ** 2)) / (
             n ** 2 - s ** 2 - n ** 2 * s ** 2 + 2.0 * s ** 4)
         self._rho_spec_of_theta = (theta, rho_s)
-        unknown = [m for m in degenerate_materials if m not in MATERIAL_IDS]
+        unknown = [m for m in (tuple(degenerate_materials)
+                               + tuple(transmissive_materials))
+                   if m not in MATERIAL_IDS]
         if unknown:
             raise ValueError(f"unknown degenerate materials {unknown}")
-        self.degenerate_ids = np.array(
-            [MATERIAL_IDS[m] for m in degenerate_materials], np.int32)
+        # transmissive ids are a degenerate subclass: both use the specular
+        # polarization model; they differ only in the RGB branch
+        self.transmissive_ids = np.array(
+            [MATERIAL_IDS[m] for m in transmissive_materials], np.int32)
+        self.degenerate_ids = np.unique(np.concatenate([
+            np.array([MATERIAL_IDS[m] for m in degenerate_materials],
+                     np.int32), self.transmissive_ids])).astype(np.int32)
         # Normalized intrinsics follow the HAMMER convention
         # (indoor_dataset.py:262-275): fx=0.58W, fy=0.60H, c=(0.5W, 0.5H).
         K = np.eye(4, dtype=np.float32)
@@ -192,9 +217,23 @@ class SyntheticHammer:
         depth = s_hit * d_cam[..., 2]          # z in camera frame
         normals_cam = normals_w @ R            # world -> cam rotation (R^T)^T
         p_w = o_w + d_w * s_hit[..., None]     # world hit points (texture anchor)
-        return rng, depth, normals_cam, normals_w, d_cam, mask, p_w
+        # see-through anchor: where the ray meets the background plane —
+        # what a transmissive surface shows (thin-surface approximation;
+        # occluding spheres behind glass are ignored)
+        p_bg = o_w + d_w * s_bg[..., None]
+        return rng, depth, normals_cam, normals_w, d_cam, mask, p_w, \
+            (p_bg, n_bg)
 
-    def _polarize(self, rng, normals_cam, normals_w, d_cam, p_w, mask=None):
+    @staticmethod
+    def _tex(p_w):
+        """World-anchored procedural texture: gives photometric matching
+        something to lock onto (view-consistent by construction)."""
+        return (0.85 + 0.08 * np.sin(37.0 * p_w[..., 0])
+                * np.sin(31.0 * p_w[..., 1])
+                + 0.07 * np.sin(53.0 * (p_w[..., 0] + p_w[..., 2])))
+
+    def _polarize(self, rng, normals_cam, normals_w, d_cam, p_w, mask=None,
+                  bg=None):
         """Fresnel forward model -> 4 uint8 captures + shading.
 
         Lambertian shading uses the WORLD-frame light direction so multiple
@@ -203,7 +242,10 @@ class SyntheticHammer:
         state uses camera-frame normals — view-dependent by physics.
 
         Pixels whose material id is in self.degenerate_ids switch to the
-        photometrically degenerate specular model (see __init__).
+        photometrically degenerate specular model; ids in
+        self.transmissive_ids additionally replace the RGB/intensity with
+        the see-through background render (see __init__).  bg is the
+        (p_bg, n_bg) see-through anchor from _render_geometry.
         """
         cos_t = np.clip(np.abs((normals_cam * -d_cam).sum(-1)), 0.0, 1.0)
         theta = np.arccos(cos_t)
@@ -215,14 +257,9 @@ class SyntheticHammer:
         light = np.array([0.3, -0.5, -0.8])
         light /= np.linalg.norm(light)
         shade = np.clip((normals_w * -light).sum(-1), 0.15, 1.0)
-        # world-anchored procedural texture: gives photometric matching
-        # something to lock onto (view-consistent by construction)
-        tex = (0.85 + 0.08 * np.sin(37.0 * p_w[..., 0])
-               * np.sin(31.0 * p_w[..., 1])
-               + 0.07 * np.sin(53.0 * (p_w[..., 0] + p_w[..., 2])))
-        shade = shade * tex
+        shade = shade * self._tex(p_w)
 
-        deg = None
+        deg = trans = None
         if mask is not None and len(self.degenerate_ids):
             deg = np.isin(mask, self.degenerate_ids)
             # specular DoLP (strong, Brewster-saturating) with the specular
@@ -235,6 +272,16 @@ class SyntheticHammer:
             # RGB degeneracy: flat mid-gray — no Lambert, no texture; the
             # intensity image carries zero shape information here
             shade = np.where(deg, 0.55, shade)
+        if mask is not None and len(self.transmissive_ids) and bg is not None:
+            trans = np.isin(mask, self.transmissive_ids)
+            p_bg, n_bg = bg
+            # transmitted radiance: the background plane's Lambert+texture
+            # continued along the ray, x0.82 transmission loss.  This drives
+            # BOTH the RGB and the polarization captures' total intensity —
+            # only DoLP/AoLP (already specular-surface above) keep surface
+            # geometry, exactly the misleading-photometry glass regime.
+            bg_shade = np.clip(float(-(n_bg @ light)), 0.15, 1.0)
+            shade = np.where(trans, 0.82 * bg_shade * self._tex(p_bg), shade)
         iun = 40.0 + 170.0 * shade
 
         angles = np.deg2rad([0.0, 45.0, 90.0, 135.0])
@@ -245,16 +292,18 @@ class SyntheticHammer:
         albedo = np.stack([0.9 * shade, 0.75 * shade + 0.05,
                            0.6 * shade + 0.1], axis=-1)
         if deg is not None:
-            # neutral gray: no color cue either
-            albedo = np.where(deg[..., None], 0.55, albedo)
+            # neutral gray: no color cue either (transmissive pixels keep
+            # the background's colored texture instead — the misleading cue)
+            flat = deg if trans is None else (deg & ~trans)
+            albedo = np.where(flat[..., None], 0.55, albedo)
         rgb = np.clip(albedo * 255.0, 0, 255)
         return pol.astype(np.uint8), rgb.astype(np.uint8)
 
     def sample(self, index: int, frame: int = 0) -> dict:
-        rng, depth, normals_cam, normals_w, d_cam, mask, p_w = \
+        rng, depth, normals_cam, normals_w, d_cam, mask, p_w, bg = \
             self._render_geometry(index, frame)
         pol, rgb = self._polarize(rng, normals_cam, normals_w, d_cam, p_w,
-                                  mask)
+                                  mask, bg)
         d32 = depth.astype(np.float32)[..., None]
         return {
             "color": rgb,
@@ -297,14 +346,16 @@ class SyntheticHammer:
 def write_synthetic_scene(root: str, scene: str, num_frames: int = 12,
                           height: int = 320, width: int = 480,
                           seed: int = 0,
-                          degenerate_materials: tuple = ()) -> str:
+                          degenerate_materials: tuple = (),
+                          transmissive_materials: tuple = ()) -> str:
     """Dump a synthetic scene in the on-disk HAMMER layout so HammerIndex /
     HammerLoader can be exercised without the real dataset.  All frames view
     world #0 from the per-frame trajectory pose."""
     import cv2
 
     gen = SyntheticHammer(height, width, seed=seed,
-                          degenerate_materials=degenerate_materials)
+                          degenerate_materials=degenerate_materials,
+                          transmissive_materials=transmissive_materials)
     base = os.path.join(root, scene, "polarization")
     subdirs = ["rgb", "pol00", "pol01", "pol10", "pol11", "_instance",
                "_gt", "_pose"]

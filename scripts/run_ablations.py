@@ -56,22 +56,26 @@ ABLATIONS = [
 METRICS = ("abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3")
 
 
-def build_corpus(root, n_train, n_val, frames, h, w, degenerate=()):
+def build_corpus(root, n_train, n_val, frames, h, w, degenerate=(),
+                 transmissive=()):
     """degenerate: material names rendered photometrically degenerate
-    (specular DoLP, flat gray RGB) — the glass/metal regime the reference
-    targets; see data/synthetic.py."""
+    (specular DoLP, flat gray RGB); transmissive: names additionally
+    rendered see-through (RGB shows the background THROUGH the object —
+    the misleading-photometry glass regime); see data/synthetic.py."""
     train, val = [], []
     for i in range(n_train):
         scene = f"train_{i:02d}"
         if not os.path.isdir(os.path.join(root, scene)):
             write_synthetic_scene(root, scene, frames, h, w, seed=i,
-                                  degenerate_materials=tuple(degenerate))
+                                  degenerate_materials=tuple(degenerate),
+                                  transmissive_materials=tuple(transmissive))
         train.append(scene)
     for i in range(n_val):
         scene = f"val_{i:02d}"
         if not os.path.isdir(os.path.join(root, scene)):
             write_synthetic_scene(root, scene, frames, h, w, seed=1000 + i,
-                                  degenerate_materials=tuple(degenerate))
+                                  degenerate_materials=tuple(degenerate),
+                                  transmissive_materials=tuple(transmissive))
         val.append(scene)
     return train, val
 

@@ -74,8 +74,14 @@ def main():
                    help="comma-separated material names rendered "
                         "photometrically degenerate (e.g. glass,cutlery); "
                         "also adds the rgb-only modality row")
+    p.add_argument("--transmissive", default="",
+                   help="comma-separated material names additionally "
+                        "rendered see-through (RGB shows the background "
+                        "through the object; implies degenerate)")
     a = p.parse_args()
     degenerate = tuple(m for m in a.degenerate.split(",") if m)
+    transmissive = tuple(m for m in a.transmissive.split(",") if m)
+    degenerate = tuple(dict.fromkeys(degenerate + transmissive))
     variants = VARIANTS + (MODALITY_VARIANTS if degenerate else [])
 
     import jax
@@ -87,7 +93,7 @@ def main():
 
     train_scenes, val_scenes = build_corpus(
         a.root, a.train_scenes, a.val_scenes, a.frames, a.height, a.width,
-        degenerate=degenerate)
+        degenerate=degenerate, transmissive=transmissive)
     base = Config(
         data_path=a.root, height=a.height, width=a.width,
         batch_size=a.batch_size, num_epochs=a.num_epochs,
@@ -130,6 +136,13 @@ def main():
         "DoLP/AoLP — data/synthetic.py) so the polarization channel carries "
         "UNIQUE depth signal on those slices, matching the reference's "
         "glass/metal regime." if degenerate else "")
+    if transmissive:
+        deg_note += (
+            f"  {', '.join(transmissive)} additionally render TRANSMISSIVE: "
+            "RGB shows the background plane through the object (thin-surface "
+            "see-through, x0.82 attenuation) while depth_gt stays at the "
+            "surface — misleading, not just missing, photometry; only "
+            "DoLP/AoLP carry the surface.")
     lines = [
         "# Attention-integration sweep (VERDICT r3 #6)",
         "",

@@ -29,7 +29,10 @@ import sys
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU unconditionally: this is an AOT compile-only analysis, and the
+# session env pins JAX_PLATFORMS=axon (the TPU tunnel is single-client —
+# a setdefault here once connected to it and killed a running TPU job).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -206,3 +206,45 @@ def test_degenerate_material_corpus():
     import pytest
     with pytest.raises(ValueError):
         SyntheticHammer(64, 96, degenerate_materials=("mirror",))
+
+
+def test_transmissive_material_corpus():
+    """Transmissive (see-through) glass: RGB shows the BACKGROUND through
+    the object — misleading, not just missing, photometry — while depth_gt
+    stays at the surface and the specular DoLP still marks it."""
+    import numpy as np
+    from polardepth_tpu.data.synthetic import SyntheticHammer, MATERIAL_IDS
+
+    gt = SyntheticHammer(96, 128, seed=3,
+                         degenerate_materials=("cutlery",),
+                         transmissive_materials=("glass",))
+    # same seed, no objects: the bare background plane (same world rng
+    # draws tilt/d_bg first, so the plane is identical)
+    gb = SyntheticHammer(96, 128, seed=3, num_objects=0)
+    gid, cid = MATERIAL_IDS["glass"], MATERIAL_IDS["cutlery"]
+    for i in range(3):
+        s = gt.sample(i)
+        sb = gb.sample(i)
+        m = s["mask"][..., 0]
+        trans = m == gid
+        flat = m == cid
+        assert trans.any() and flat.any()
+        # glass RGB is the attenuated background seen through: the red
+        # channel is a pure x0.82 scaling of the no-object render's
+        red = s["color"][..., 0].astype(np.float32)
+        red_bg = sb["color"][..., 0].astype(np.float32)
+        ratio = red[trans] / np.maximum(red_bg[trans], 1.0)
+        assert np.abs(ratio - 0.82).max() < 0.03
+        # ... so it is textured (misleading), unlike the flat cutlery
+        assert s["color"][trans].std(axis=0).max() > 5.0
+        assert s["color"][flat].std(axis=0).max() <= 1.0
+        # but the TRUE depth sits in front of what the texture implies
+        assert (s["depth"][trans] < sb["depth"][trans] - 0.02).all()
+        # and the surface still shows in the polarization captures
+        pol = s["pol"].astype(np.float32)
+        mod = (np.abs(pol[..., 0] - pol[..., 2])
+               + np.abs(pol[..., 1] - pol[..., 3]))
+        bgm = m == MATERIAL_IDS["table"]
+        assert mod[trans].mean() > 5.0 * mod[bgm].mean()
+    # transmissive implies degenerate: ids are merged
+    assert set(gt.degenerate_ids) == {gid, cid}
