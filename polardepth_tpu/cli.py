@@ -143,9 +143,19 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                    help="unpacked (reference-shaped) decoder execution plan")
     p.add_argument("--fused_encoders", action="store_true",
                    default=d.fused_encoders,
-                   help="run the XOLP+normals encoders as one groups=2 "
-                        "stack at 128 lanes (exact; "
-                        "models/pre_encoders.py:FusedModalityEncoders)")
+                   help="run the XOLP+normals encoders as one 128-lane "
+                        "stack (exact; models/pre_encoders.py:"
+                        "FusedModalityEncoders; ON by default, dense plan)")
+    p.add_argument("--no_fused_encoders", dest="fused_encoders",
+                   action="store_false",
+                   help="two independent 64-channel modality encoders "
+                        "(reference-shaped param tree; needed to load a "
+                        "separate-encoder checkpoint unconverted)")
+    p.add_argument("--fused_plan", type=str, default=d.fused_plan,
+                   choices=("grouped", "dense"),
+                   help="execution plan for the fused stack (dense: "
+                        "block-diagonal full-lane contraction, the "
+                        "measured-fastest — bench_fusion.json)")
     p.add_argument("--student_remat", action="store_true",
                    default=d.student_remat,
                    help="rematerialise teacher/encoder/decoder activations "

@@ -195,17 +195,24 @@ class Config:
     # `--no_phase_packed_decoder` restores the unpacked execution plan.
     phase_packed_decoder: bool = True
     # Fused modality encoders: run the XOLP + normals ShallowEncoders as a
-    # single feature_group_count=2 conv stack at 128 channels (a full v5e
-    # lane tile) instead of two independent 64-channel graphs.  Exactly the
-    # same math — groups never mix and BN/ReLU/pool are per-channel
+    # single conv stack at 128 channels (a full v5e lane tile) instead of
+    # two independent 64-channel graphs.  Exactly the same math — groups
+    # never mix and BN/ReLU/pool are per-channel
     # (models/pre_encoders.py:FusedModalityEncoders, parity-tested);
-    # requires augment_xolp AND augment_normals.
-    fused_encoders: bool = False
+    # requires augment_xolp AND augment_normals (auto-disabled otherwise —
+    # trainer.build_model).  ON by default since round 5 with the "dense"
+    # plan: measured infer_512_bf16_phase 313.9 -> 335.6 fps (+6.9%,
+    # bench_suite.json).  Separate-encoder checkpoints convert losslessly
+    # via models/pre_encoders.py:fuse_modality_params; to LOAD one without
+    # converting, pass --no_fused_encoders.
+    fused_encoders: bool = True
     # Execution plan for the fused stack: "grouped" (feature_group_count=2,
     # round-4 — measured -19% on infer: XLA's TPU grouped-conv lowering) or
     # "dense" (block-diagonal dense convs, same params/math, full-lane
-    # contraction — layers.py:_DenseExpandConv).
-    fused_plan: str = "grouped"
+    # contraction — layers.py:_DenseExpandConv; wins the lowering microbench
+    # 8.64 ms vs sep 10.6 / grouped 12.0, bench_fusion.json, AND the real
+    # graph: +6.9% infer).
+    fused_plan: str = "dense"
     # Rematerialisation in the teacher-student (cost-volume) train step.
     # True re-computes the teacher/encoder/decoder activations in the
     # backward pass (lower peak HBM); False keeps them resident and is the

@@ -63,7 +63,10 @@ def build_model(cfg: Config) -> PolarDepthNet:
         attention_gate=cfg.attention_gate,
         decoder_pad_mode="zero" if cfg.fast_decoder else "reflect",
         phase_packed_decoder=cfg.phase_packed_decoder,
-        fused_encoders=cfg.fused_encoders,
+        # fused encoders exist only when both modality encoders do; a
+        # True default must not break rgb-only / single-modality configs
+        fused_encoders=(cfg.fused_encoders and cfg.augment_xolp
+                        and cfg.augment_normals),
         fused_plan=getattr(cfg, "fused_plan", "grouped"),
     )
 

@@ -308,12 +308,21 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--skip-cpu", action="store_true")
     p.add_argument("--out", default=os.path.join(HERE, "bench_suite.json"))
+    p.add_argument("--rows", default="",
+                   help="comma-separated exact row names to (re)measure; "
+                        "unlisted rows keep their stored value")
     a = p.parse_args()
+    only = {r for r in a.rows.split(",") if r}
+    unknown = only - set(ROWS)
+    if unknown:
+        p.error(f"unknown rows: {sorted(unknown)}")
     results = {}
     if os.path.exists(a.out):  # rows SKIPPED this run keep their value;
         with open(a.out) as f:  # every attempted row is overwritten
             results = json.load(f)
     for name, fn in ROWS.items():
+        if only and name not in only:
+            continue
         if a.skip_cpu and name == "cpu_infer_512_f32":
             continue
         record(results, a.out, name, fn)
