@@ -174,6 +174,37 @@ def fuse_modality_params(xolp_tree: dict, normals_tree: dict) -> dict:
     return out
 
 
+def split_modality_params(fused_tree: dict) -> tuple:
+    """Exact inverse of `fuse_modality_params`: convert a
+    FusedModalityEncoders param/batch_stats subtree back into the two
+    separate ShallowEncoder-shaped subtrees (xolp, normals).  Every fused
+    trunk leaf is the two separate leaves concatenated along the
+    cout/channel (last) axis, so the split is a clean halving; the stems
+    were never fused.  Used by checkpoint.export_components so component
+    exports keep the reference's layout regardless of execution plan."""
+    import numpy as np
+
+    def halves(t):
+        if isinstance(t, dict):
+            pairs = {k: halves(v) for k, v in t.items()}
+            return ({k: v[0] for k, v in pairs.items()},
+                    {k: v[1] for k, v in pairs.items()})
+        a = np.asarray(t)
+        h = a.shape[-1] // 2
+        return a[..., :h], a[..., h:]
+
+    mapping = {"ResidualBlock_0": "ResidualBlock_0",
+               "ConvBNReLUDrop_1": "ConvBNReLUDrop_0",
+               "ResidualBlock_1": "ResidualBlock_1",
+               "ConvBNReLUDrop_2": "ConvBNReLUDrop_1",
+               "ResidualBlock_2": "ResidualBlock_2"}
+    xolp = {"ConvBNReLUDrop_0": fused_tree["stem_xolp"]}
+    normals = {"ConvBNReLUDrop_0": fused_tree["stem_normals"]}
+    for sep_name, fused_name in mapping.items():
+        xolp[sep_name], normals[sep_name] = halves(fused_tree[fused_name])
+    return xolp, normals
+
+
 class JointEncoder(nn.Module):
     """Fusion trunk over concatenated modality features.
 

@@ -102,22 +102,40 @@ def latest_step_dir(directory: str) -> Optional[str]:
     return os.path.join(directory, max(steps)[1])
 
 
+def _reference_shaped_components(params):
+    """Component view of a param/batch_stats tree in the REFERENCE's split:
+    a fused_encoders subtree (either execution plan — params are stored
+    grouped-shape in both) is split back into xolp_encoder /
+    normals_encoder so exports are interchangeable across configurations."""
+    if "fused_encoders" not in params:
+        return params
+    from polardepth_tpu.models.pre_encoders import split_modality_params
+
+    out = {k: v for k, v in params.items() if k != "fused_encoders"}
+    xolp, normals = split_modality_params(params["fused_encoders"])
+    out["xolp_encoder"] = xolp
+    out["normals_encoder"] = {"ShallowEncoder_0": normals}
+    return out
+
+
 def export_components(directory: str, state) -> list[str]:
     """Per-component .npz export matching the reference's component split
     (rgb_encoder / xolp_encoder / normals_encoder / joint_encoder /
-    mono_depth; trainer.py:1597-1617)."""
+    mono_depth; trainer.py:1597-1617).  A fused-encoder state exports the
+    same reference-shaped files as a separate-encoder one."""
     os.makedirs(directory, exist_ok=True)
     written = []
-    flat_stats = dict(jax.tree_util.tree_flatten_with_path(
-        state.batch_stats)[0]) if state.batch_stats else {}
-    for component, tree in state.params.items():
+    params = _reference_shaped_components(jax.device_get(state.params))
+    stats = (_reference_shaped_components(jax.device_get(state.batch_stats))
+             if state.batch_stats else {})
+    for component, tree in params.items():
         arrays = {}
         for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
             key = "/".join(str(getattr(p, "key", p)) for p in path)
             arrays[key] = np.asarray(leaf)
-        if state.batch_stats and component in state.batch_stats:
+        if stats and component in stats:
             for path, leaf in jax.tree_util.tree_flatten_with_path(
-                    state.batch_stats[component])[0]:
+                    stats[component])[0]:
                 key = "stats/" + "/".join(str(getattr(p, "key", p))
                                           for p in path)
                 arrays[key] = np.asarray(leaf)
@@ -128,9 +146,42 @@ def export_components(directory: str, state) -> list[str]:
 
 
 def import_components(directory: str, state):
-    """Load per-component .npz exports back into a state (shape-checked)."""
+    """Load per-component .npz exports back into a state (shape-checked).
+
+    Exports are always reference-shaped (see export_components); a
+    fused-encoder state re-fuses xolp_encoder.npz + normals_encoder.npz on
+    the way in, so components round-trip across execution plans."""
     params = jax.device_get(state.params)
     stats = jax.device_get(state.batch_stats)
+    if "fused_encoders" in params and os.path.isfile(
+            os.path.join(directory, "xolp_encoder.npz")) and os.path.isfile(
+            os.path.join(directory, "normals_encoder.npz")):
+        from polardepth_tpu.models.pre_encoders import fuse_modality_params
+
+        def load_tree(name):
+            raw = dict(np.load(os.path.join(directory, f"{name}.npz")))
+            tree, stat = {}, {}
+            for key, arr in raw.items():
+                dst, parts = (stat, key.split("/")[1:]) \
+                    if key.startswith("stats/") else (tree, key.split("/"))
+                for p in parts[:-1]:
+                    dst = dst.setdefault(p, {})
+                dst[parts[-1]] = arr
+            return tree, stat
+        xt, xs = load_tree("xolp_encoder")
+        nt, ns = load_tree("normals_encoder")
+        fused_p = fuse_modality_params(xt, nt["ShallowEncoder_0"])
+
+        def _checked(cur, new):
+            new = np.asarray(new)
+            assert new.shape == np.asarray(cur).shape, \
+                ("fused_encoders", new.shape, np.asarray(cur).shape)
+            return new
+        params["fused_encoders"] = jax.tree_util.tree_map(
+            _checked, params["fused_encoders"], fused_p)
+        if stats and "fused_encoders" in stats:
+            stats["fused_encoders"] = fuse_modality_params(
+                xs, ns["ShallowEncoder_0"])
     for component in list(params.keys()):
         path = os.path.join(directory, f"{component}.npz")
         if not os.path.isfile(path):

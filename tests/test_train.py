@@ -91,6 +91,21 @@ def test_component_export_import(tmp_path, overfit_setup):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_component_export_crosses_execution_plans(tmp_path, overfit_setup):
+    """A fused-encoder state's component export is reference-shaped, so an
+    UNFUSED model must be able to import it and predict identically."""
+    cfg, trainer, batch = overfit_setup
+    assert "fused_encoders" in trainer.state.params  # fused is the default
+    comp_dir = str(tmp_path / "components")
+    ckpt.export_components(comp_dir, trainer.state)
+    t2 = Trainer(cfg.replace(fused_encoders=False), steps_per_epoch=1,
+                 log_fn=lambda *_: None)
+    assert "xolp_encoder" in t2.state.params
+    t2.state = ckpt.import_components(comp_dir, t2.state)
+    np.testing.assert_allclose(t2.predict(batch), trainer.predict(batch),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_rgb_only_config_trains():
     cfg = tiny_config(augment_xolp=False, augment_normals=False)
     trainer = Trainer(cfg, steps_per_epoch=1, log_fn=lambda *_: None)
