@@ -37,6 +37,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+# The axon plugin can register despite the env var (it grabbed the tunnel
+# and ran this analysis against the 1-chip TPU backend once); the config
+# pin before first backend use is the reliable one.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 
 def _mem(compiled):
