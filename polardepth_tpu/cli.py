@@ -551,19 +551,7 @@ def _train_alternative_path(cfg: Config, a, writer) -> int:
                 "through the self-supervised path instead")
         from polardepth_tpu.train.student import (
             StudentModel, make_student_train_step, make_student_infer_step)
-        model = StudentModel(
-            frame_ids=tuple(cfg.frame_ids),
-            matching_ids=cfg.matching_ids,
-            augment_xolp=cfg.augment_xolp,
-            augment_normals=cfg.augment_normals,
-            dropout_rate=cfg.dropout_rate, scales=tuple(cfg.scales),
-            num_depth_bins=cfg.num_depth_bins,
-            depth_binning=cfg.depth_binning,
-            compute_dtype=cfg.compute_dtype,
-            cv_warp_impl=cfg.cv_warp_impl,
-            decoder_pad_mode="zero" if cfg.fast_decoder else "reflect",
-            phase_packed_decoder=cfg.phase_packed_decoder,
-            remat=cfg.student_remat)
+        model = StudentModel.from_config(cfg)
         data_fn, spe = _make_multiframe_data(cfg, a, "train")
         eval_fn, _ = _make_multiframe_data(
             cfg, a, "val" if not a.synthetic else "train")
@@ -596,13 +584,7 @@ def _train_alternative_path(cfg: Config, a, writer) -> int:
     # self-supervised (optionally + depth supervision) mono path
     from polardepth_tpu.train.selfsup import (
         SelfSupModel, make_selfsup_train_step, make_selfsup_infer_step)
-    model = SelfSupModel(
-        frame_ids=tuple(cfg.frame_ids), augment_xolp=cfg.augment_xolp,
-        augment_normals=cfg.augment_normals, dropout_rate=cfg.dropout_rate,
-        scales=tuple(cfg.scales), compute_dtype=cfg.compute_dtype,
-        use_pallas=cfg.use_pallas,
-        decoder_pad_mode="zero" if cfg.fast_decoder else "reflect",
-        phase_packed_decoder=cfg.phase_packed_decoder)
+    model = SelfSupModel.from_config(cfg)
     data_fn, spe = _make_multiframe_data(cfg, a, "train")
     eval_fn, _ = _make_multiframe_data(
         cfg, a, "val" if not a.synthetic else "train")

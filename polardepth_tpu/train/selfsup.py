@@ -142,6 +142,27 @@ class SelfSupModel(nn.Module):
     use_pallas: bool = True
     phase_packed_decoder: bool = False  # ops/phase.py packed decoder stages
     decoder_pad_mode: str = "reflect"   # "zero" = fast decoder
+    fused_encoders: bool = False  # XOLP+normals as one 128-lane stack
+    fused_plan: str = "dense"     # see FusedModalityEncoders.plan
+
+    @classmethod
+    def from_config(cls, cfg, **over):
+        """Model fields from a Config — the one place the cfg->model
+        plumbing lives, so new execution-plan knobs (e.g. fused_encoders)
+        reach every entry point (CLI, bench, memory/profile scripts)."""
+        kw = dict(
+            frame_ids=tuple(cfg.frame_ids), augment_xolp=cfg.augment_xolp,
+            augment_normals=cfg.augment_normals,
+            dropout_rate=cfg.dropout_rate, scales=tuple(cfg.scales),
+            refraction_index=cfg.refraction_index,
+            compute_dtype=cfg.compute_dtype, use_pallas=cfg.use_pallas,
+            phase_packed_decoder=cfg.phase_packed_decoder,
+            decoder_pad_mode="zero" if cfg.fast_decoder else "reflect",
+            fused_encoders=(cfg.fused_encoders and cfg.augment_xolp
+                            and cfg.augment_normals),
+            fused_plan=cfg.fused_plan)
+        kw.update(over)
+        return cls(**kw)
 
     @nn.compact
     def __call__(self, color_frames, pol=None, train: bool = False,
@@ -163,7 +184,10 @@ class SelfSupModel(nn.Module):
             tuple(self.scales), self.refraction_index, self.compute_dtype,
             self.use_pallas,
             decoder_pad_mode=self.decoder_pad_mode,
-            phase_packed_decoder=self.phase_packed_decoder, name="mono")
+            phase_packed_decoder=self.phase_packed_decoder,
+            fused_encoders=(self.fused_encoders and self.augment_xolp
+                            and self.augment_normals),
+            fused_plan=self.fused_plan, name="mono")
         disps = depth_net(color_frames[:, 0], pol=pol, train=train)
 
         pose_net = PoseNet(self.compute_dtype, name="pose_net")

@@ -67,6 +67,30 @@ class StudentModel(nn.Module):
     # batch 12 otherwise holds ~17 GB of 1/2-res encoder residuals (> one
     # chip's 15.75 GB HBM).  Costs ~1 extra forward of recompute.
     remat: bool = True
+    fused_encoders: bool = False  # teacher's XOLP+normals as one 128-lane
+    # stack (models/pre_encoders.py:FusedModalityEncoders)
+    fused_plan: str = "dense"
+
+    @classmethod
+    def from_config(cls, cfg, **over):
+        """Model fields from a Config (see SelfSupModel.from_config)."""
+        kw = dict(
+            frame_ids=tuple(cfg.frame_ids), matching_ids=cfg.matching_ids,
+            augment_xolp=cfg.augment_xolp,
+            augment_normals=cfg.augment_normals,
+            dropout_rate=cfg.dropout_rate, scales=tuple(cfg.scales),
+            num_depth_bins=cfg.num_depth_bins,
+            depth_binning=cfg.depth_binning,
+            compute_dtype=cfg.compute_dtype,
+            cv_warp_impl=cfg.cv_warp_impl,
+            phase_packed_decoder=cfg.phase_packed_decoder,
+            decoder_pad_mode="zero" if cfg.fast_decoder else "reflect",
+            remat=cfg.student_remat,
+            fused_encoders=(cfg.fused_encoders and cfg.augment_xolp
+                            and cfg.augment_normals),
+            fused_plan=cfg.fused_plan)
+        kw.update(over)
+        return cls(**kw)
 
     @nn.compact
     def __call__(self, color_frames, pol, lookup_frames, rel_poses,
@@ -85,7 +109,9 @@ class StudentModel(nn.Module):
             self.dropout_rate, tuple(self.scales),
             compute_dtype=self.compute_dtype,
             phase_packed_decoder=self.phase_packed_decoder,
-            decoder_pad_mode=self.decoder_pad_mode, name="teacher")
+            decoder_pad_mode=self.decoder_pad_mode,
+            fused_encoders=self.fused_encoders,
+            fused_plan=self.fused_plan, name="teacher")
         t_train = train and not freeze_teacher
         if rel_poses is None:
             # pose_input=False (reference default): the lookup-frame poses

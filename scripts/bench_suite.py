@@ -134,18 +134,10 @@ def measure_student_train(batch=12, h=320, w=480, chain=4, reps=5,
 
     cfg = Config(height=h, width=w, batch_size=batch, train_student=True,
                  donate_state=False, **cfg_kw)
-    model = StudentModel(
-        frame_ids=tuple(cfg.frame_ids), matching_ids=cfg.matching_ids,
-        augment_xolp=cfg.augment_xolp, augment_normals=cfg.augment_normals,
-        dropout_rate=cfg.dropout_rate, scales=tuple(cfg.scales),
-        num_depth_bins=cfg.num_depth_bins, depth_binning=cfg.depth_binning,
-        compute_dtype=cfg.compute_dtype,
-        cv_warp_impl=getattr(cfg, "cv_warp_impl", "xla"),
-        decoder_pad_mode="zero" if cfg.fast_decoder else "reflect",
-        phase_packed_decoder=cfg.phase_packed_decoder,
-        # None = the shipped default (Config.student_remat), so the
-        # "defaults" row always measures what the CLI actually runs
-        remat=cfg.student_remat if remat is None else remat)
+    # None = the shipped default (Config.student_remat), so the
+    # "defaults" row always measures what the CLI actually runs
+    model = StudentModel.from_config(
+        cfg, **({} if remat is None else {"remat": remat}))
     rng = jax.random.PRNGKey(0)
     nf = len(cfg.frame_ids)
     n_lookup = len(cfg.matching_ids) - 1
@@ -244,39 +236,48 @@ ROWS = {
         batch=8, h=512, w=512, compute_dtype="bfloat16",
         phase_packed_decoder=True, fused_encoders=True),
     "student_train_320x480_f32": lambda: measure_student_train(
+        fused_encoders=False,  # pre-r5 row: name keeps its meaning
         phase_packed_decoder=False, warp_impl="patch", cv_warp_impl="xla"),
     "student_train_320x480_pallas": lambda: measure_student_train(
+        fused_encoders=False,  # pre-r5 row: name keeps its meaning
         warp_impl="pallas", cv_warp_impl="pallas8",
         phase_packed_decoder=False),
     "student_train_320x480_pallas_bf16": lambda: measure_student_train(
+        fused_encoders=False,  # pre-r5 row: name keeps its meaning
         warp_impl="pallas", cv_warp_impl="pallas8_fast",
         compute_dtype="bfloat16", fast_decoder=True,
         phase_packed_decoder=False),
     # round-3 session-2: fast single-pass photometric warps + phase-packed
     # decoders + stacked channels-leading photometric losses
     "student_train_320x480_fast_bf16": lambda: measure_student_train(
+        fused_encoders=False,  # pre-r5 row: name keeps its meaning
         warp_impl="pallas_fast", cv_warp_impl="pallas8_fast",
         compute_dtype="bfloat16", fast_decoder=True,
         phase_packed_decoder=False),
     "student_train_320x480_phase_bf16": lambda: measure_student_train(
+        fused_encoders=False,  # pre-r5 row: name keeps its meaning
         warp_impl="pallas_fast", cv_warp_impl="pallas8_fast",
         compute_dtype="bfloat16", phase_packed_decoder=True),
     # no-remat experiment: bf16 sweep + Pallas warps freed the HBM that
     # forced remat in round 2 — does dropping the ~0.6-forward recompute pay?
     "student_train_320x480_phase_bf16_noremat": lambda: measure_student_train(
+        fused_encoders=False,  # pre-r5 row: name keeps its meaning
         warp_impl="pallas_fast", cv_warp_impl="pallas8_fast",
         compute_dtype="bfloat16", phase_packed_decoder=True, remat=False),
     # round-4: the two wins compose? (noremat freed by bf16+Pallas HBM
     # savings; packed losses halve the loss-elementwise dispatch count)
     "student_train_320x480_packed_bf16_noremat": lambda: measure_student_train(
+        fused_encoders=False,  # pre-r5 row: name keeps its meaning
         warp_impl="pallas_fast", cv_warp_impl="pallas8_fast",
         compute_dtype="bfloat16", phase_packed_decoder=True,
         photometric_packed=True, remat=False),
     "student_train_320x480_packed_bf16": lambda: measure_student_train(
+        fused_encoders=False,  # pre-r5 row: name keeps its meaning
         warp_impl="pallas_fast", cv_warp_impl="pallas8_fast",
         compute_dtype="bfloat16", phase_packed_decoder=True,
         photometric_packed=True),
     "student_train_320x480_packedloss_f32": lambda: measure_student_train(
+        fused_encoders=False,  # pre-r5 row: name keeps its meaning
         warp_impl="pallas", cv_warp_impl="pallas8",
         photometric_packed=True, phase_packed_decoder=False),
     # round-5: the SHIPPED DEFAULTS (warp_impl/cv_warp_impl "auto" ->

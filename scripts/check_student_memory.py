@@ -40,14 +40,7 @@ def analyze(remat: bool, batch: int, h: int, w: int):
                  donate_state=False, compute_dtype="bfloat16",
                  warp_impl="pallas_fast", cv_warp_impl="pallas8_fast",
                  phase_packed_decoder=True)
-    model = StudentModel(
-        frame_ids=tuple(cfg.frame_ids), matching_ids=cfg.matching_ids,
-        augment_xolp=cfg.augment_xolp, augment_normals=cfg.augment_normals,
-        dropout_rate=cfg.dropout_rate, scales=tuple(cfg.scales),
-        num_depth_bins=cfg.num_depth_bins, depth_binning=cfg.depth_binning,
-        compute_dtype=cfg.compute_dtype, cv_warp_impl=cfg.cv_warp_impl,
-        decoder_pad_mode="reflect",
-        phase_packed_decoder=cfg.phase_packed_decoder, remat=remat)
+    model = StudentModel.from_config(cfg, remat=remat)
     rng = jax.random.PRNGKey(0)
     nf = len(cfg.frame_ids)
     n_lookup = len(cfg.matching_ids) - 1

@@ -56,15 +56,8 @@ def build(cfg, bin_chunk=None, remat=True):
         StudentModel, make_student_train_step)
     from polardepth_tpu.train.state import create_train_state
 
-    model = StudentModel(
-        frame_ids=tuple(cfg.frame_ids), matching_ids=cfg.matching_ids,
-        augment_xolp=cfg.augment_xolp, augment_normals=cfg.augment_normals,
-        dropout_rate=cfg.dropout_rate, scales=tuple(cfg.scales),
-        num_depth_bins=cfg.num_depth_bins, depth_binning=cfg.depth_binning,
-        compute_dtype=cfg.compute_dtype,
-        cv_warp_impl=getattr(cfg, "cv_warp_impl", "xla"),
-        phase_packed_decoder=cfg.phase_packed_decoder,
-        remat=remat,
+    model = StudentModel.from_config(
+        cfg, remat=remat,
         **({"bin_chunk": bin_chunk} if bin_chunk is not None else {}))
     rng = jax.random.PRNGKey(0)
     nf = len(cfg.frame_ids)

@@ -189,6 +189,18 @@ def main():
     nv = nenc.init({"params": rng, "dropout": rng}, jnp.asarray(xolp[:1]))
     add("normals enc (incl phys)", lambda x: nenc.apply(nv, x), xolp)
 
+    # round-5 production encoder plan: both modality trunks as ONE dense
+    # block-diagonal 128-lane stack (priors precomputed, as in production
+    # where the Pallas preprocess supplies them) — compare against the sum
+    # of the two standalone rows above.
+    from polardepth_tpu.models.pre_encoders import FusedModalityEncoders
+    priors = r.uniform(-1, 1, (B, H, W, 9)).astype(np.float32)
+    fenc = FusedModalityEncoders(0.0, 1.5, dt, plan="dense")
+    fv = fenc.init({"params": rng, "dropout": rng}, jnp.asarray(xolp[:1]),
+                   priors=jnp.asarray(priors[:1]))
+    add("fused modality encs (dense)",
+        lambda t: fenc.apply(fv, t[0], priors=t[1]), (xolp, priors))
+
     h8, w8 = H // 8, W // 8
     rgb8 = r.normal(0, 1, (B, h8, w8, 128)).astype(np.float32)
     x8 = r.normal(0, 1, (B, h8, w8, 64)).astype(np.float32)

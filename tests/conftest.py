@@ -81,6 +81,7 @@ _SLOW_MEASURED = {
     "test_flags.py::test_selfsup_native_resolution_batch",
     "test_flags.py::test_v1_multiscale_changes_loss",
     "test_fused_encoders.py::test_network_forward_fused",
+    "test_fused_encoders.py::test_teacher_paths_carry_fused_encoders",
     "test_fused_encoders.py::"
     "test_network_fused_matches_separate_with_converted_params",
     "test_kitti_flow.py::test_kitti_train_step_runs",

@@ -133,3 +133,38 @@ def test_dense_plan_matches_grouped(separate_and_fused):
     for p, x in jax.tree_util.tree_leaves_with_path(vi["params"]):
         k = jax.tree_util.keystr(p)
         assert k in ref_shapes and ref_shapes[k] == x.shape, (k, x.shape)
+
+
+def test_teacher_paths_carry_fused_encoders():
+    """VERDICT-r5 regression: the selfsup teacher and the student's teacher
+    must run the production fused-encoder plan when the config asks for it
+    (round-4 shipped the fused default for build_model only — the
+    SelfSupModel/StudentModel constructors silently dropped it)."""
+    from polardepth_tpu.config import Config
+    from polardepth_tpu.train.selfsup import SelfSupModel
+    from polardepth_tpu.train.student import StudentModel
+
+    cfg = Config(height=64, width=96, batch_size=1, fused_encoders=True,
+                 num_depth_bins=8, use_pallas=False)
+    m = SelfSupModel.from_config(cfg, dropout_rate=0.0)
+    assert m.fused_encoders and m.fused_plan == cfg.fused_plan
+    rng = np.random.default_rng(4)
+    frames = jnp.asarray(rng.uniform(0, 1, (1, 3, 64, 96, 3)), jnp.float32)
+    pol = jnp.asarray(rng.uniform(0, 255, (1, 64, 96, 4)), jnp.float32)
+    v = m.init({"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}, frames, pol)
+    assert "fused_encoders" in v["params"]["mono"]
+    assert "xolp_encoder" not in v["params"]["mono"]
+
+    sm = StudentModel.from_config(cfg, dropout_rate=0.0)
+    assert sm.fused_encoders and sm.remat == cfg.student_remat
+    lookup = frames[:, 1:2]
+    poses = jnp.eye(4)[None, None].astype(jnp.float32)
+    K = jnp.eye(4)[None].astype(jnp.float32)
+    vs = sm.init({"params": jax.random.PRNGKey(2),
+                  "dropout": jax.random.PRNGKey(3)},
+                 frames, pol, lookup, poses, K, K, 0.1, 20.0)
+    assert "fused_encoders" in vs["params"]["teacher"]["mono"]
+    # single-modality configs auto-disable fusion instead of erroring
+    rgb_cfg = cfg.replace(augment_xolp=False, augment_normals=False)
+    assert not SelfSupModel.from_config(rgb_cfg).fused_encoders
