@@ -197,44 +197,64 @@ ROWS = {
     # Since round 5 the Config DEFAULT is phase_packed_decoder=True, so the
     # legacy (unpacked) rows pin phase_packed_decoder=False explicitly —
     # each row's name keeps meaning what it always measured.
-    "infer_512_f32": lambda: measure_infer(phase_packed_decoder=False),
+    "infer_512_f32": lambda: measure_infer(
+        fused_encoders=False,  # pre-r5 row: name keeps its meaning
+        phase_packed_decoder=False),
     "infer_512_bf16": lambda: measure_infer(
+        fused_encoders=False,  # pre-r5 row: name keeps its meaning
         compute_dtype="bfloat16", phase_packed_decoder=False),
     "infer_512_bf16_fast": lambda: measure_infer(
+        fused_encoders=False,  # pre-r5 row: name keeps its meaning
         compute_dtype="bfloat16", fast_decoder=True,
         phase_packed_decoder=False),
     # The production headline config: phase-packed decoder stages with the
     # reference's reflection padding (exact reference graph semantics).
     "infer_512_bf16_phase": lambda: measure_infer(
+        fused_encoders=False,  # pre-r5 row: name keeps its meaning
         compute_dtype="bfloat16", phase_packed_decoder=True),
     # round-4: XOLP+normals encoders as one groups=2 stack at 128 lanes
     "infer_512_bf16_phase_fusedenc": lambda: measure_infer(
         compute_dtype="bfloat16", phase_packed_decoder=True,
-        fused_encoders=True),
+        fused_encoders=True, fused_plan="grouped"),
     # round-5: the same fused stack executed as block-diagonal DENSE convs
     "infer_512_bf16_phase_fusedenc_dense": lambda: measure_infer(
         compute_dtype="bfloat16", phase_packed_decoder=True,
         fused_encoders=True, fused_plan="dense"),
     "train_512_f32": lambda: measure_train(
+        fused_encoders=False,  # pre-r5 row: name keeps its meaning
         batch=8, h=512, w=512, phase_packed_decoder=False),
     "train_512_bf16_fast": lambda: measure_train(
+        fused_encoders=False,  # pre-r5 row: name keeps its meaning
         batch=8, h=512, w=512, compute_dtype="bfloat16", fast_decoder=True,
         phase_packed_decoder=False),
-    "train_320x480_f32": lambda: measure_train(phase_packed_decoder=False),
+    "train_320x480_f32": lambda: measure_train(
+        fused_encoders=False,  # pre-r5 row: name keeps its meaning
+        phase_packed_decoder=False),
     "train_320x480_bf16_fast": lambda: measure_train(
+        fused_encoders=False,  # pre-r5 row: name keeps its meaning
         compute_dtype="bfloat16", fast_decoder=True,
         phase_packed_decoder=False),
     "train_320x480_bf16_phase": lambda: measure_train(
+        fused_encoders=False,  # pre-r5 row: name keeps its meaning
         compute_dtype="bfloat16", phase_packed_decoder=True),
     "train_320x480_bf16_phase_packedloss": lambda: measure_train(
+        fused_encoders=False,  # pre-r5 row: name keeps its meaning
         compute_dtype="bfloat16", phase_packed_decoder=True,
         photometric_packed=True),
     "train_512_bf16_phase_packedloss": lambda: measure_train(
+        fused_encoders=False,  # pre-r5 row: name keeps its meaning
         batch=8, h=512, w=512, compute_dtype="bfloat16",
         phase_packed_decoder=True, photometric_packed=True),
     "train_512_bf16_phase_fusedenc": lambda: measure_train(
         batch=8, h=512, w=512, compute_dtype="bfloat16",
-        phase_packed_decoder=True, fused_encoders=True),
+        phase_packed_decoder=True, fused_encoders=True,
+        fused_plan="grouped"),  # r5 session-1 row: grouped plan
+    # shipped-defaults execution plan (dense block-diagonal fusion)
+    "train_512_bf16_phase_fusedenc_dense": lambda: measure_train(
+        batch=8, h=512, w=512, compute_dtype="bfloat16",
+        phase_packed_decoder=True),
+    "train_320x480_bf16_phase_fusedenc_dense": lambda: measure_train(
+        compute_dtype="bfloat16", phase_packed_decoder=True),
     "student_train_320x480_f32": lambda: measure_student_train(
         fused_encoders=False,  # pre-r5 row: name keeps its meaning
         phase_packed_decoder=False, warp_impl="patch", cv_warp_impl="xla"),
