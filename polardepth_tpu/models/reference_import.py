@@ -150,6 +150,36 @@ def load_reference_components(weights_dir: str, params: dict,
     params = flax.core.unfreeze(params)
     batch_stats = flax.core.unfreeze(batch_stats or {})
     loaded = []
+
+    # a fused-encoder model (the round-5 shipped default) has no
+    # xolp_encoder / normals_encoder subtrees — the two reference
+    # checkpoints fuse into its block-diagonal layout instead (exact:
+    # fuse_modality_params is the inverse of the export-side split)
+    if "fused_encoders" in params:
+        from polardepth_tpu.models.pre_encoders import fuse_modality_params
+        px = os.path.join(weights_dir, "xolp_encoder.pth")
+        pn = os.path.join(weights_dir, "normals_encoder.pth")
+        if os.path.exists(px) and os.path.exists(pn):
+            def _conv(path):
+                sd = {k: v for k, v in load_state_dict(path).items()
+                      if isinstance(v, np.ndarray)}
+                return convert_shallow_encoder(sd)
+            xp, xs = _conv(px)
+            np_p, np_s = _conv(pn)
+            src_p = fuse_modality_params(xp, np_p)
+            src_s = fuse_modality_params(xs, np_s)
+            import jax
+            want = jax.tree_util.tree_map(
+                lambda a: a.shape, params["fused_encoders"])
+            got = jax.tree_util.tree_map(lambda a: a.shape, src_p)
+            if want != got:
+                raise ValueError(
+                    "fused_encoders: xolp/normals checkpoint shapes do not "
+                    "match the model graph (flag mismatch?)")
+            params["fused_encoders"] = src_p
+            batch_stats["fused_encoders"] = src_s
+            loaded += ["xolp_encoder", "normals_encoder"]
+
     for name, convert in _COMPONENTS.items():
         path = os.path.join(weights_dir, f"{name}.pth")
         if not os.path.exists(path) or name not in params:

@@ -294,3 +294,37 @@ def test_import_rejects_shape_mismatch(reference_checkpoint):
         load_reference_components(weights_dir, dict(variables["params"]),
                                   dict(variables["batch_stats"]),
                                   log=lambda *_: None)
+
+
+def test_fused_model_loads_reference_checkpoint(reference_checkpoint):
+    """Round-5 regression: the shipped default model has a fused_encoders
+    subtree instead of xolp/normals_encoder — loading the reference's
+    per-component .pth files must fuse them in (NOT silently skip them,
+    which would evaluate random modality encoders)."""
+    weights_dir, _ = reference_checkpoint
+    rngs = np.random.default_rng(6)
+    color = rngs.uniform(0, 1, (B, H, W, 3)).astype(np.float32)
+    xolp = np.stack([rngs.uniform(0, 0.9, (B, H, W)),
+                     rngs.uniform(-np.pi / 2, np.pi / 2, (B, H, W))],
+                    axis=-1).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+
+    def load_into(model):
+        variables = model.init({"params": key, "dropout": key},
+                               jnp.asarray(color), xolp=jnp.asarray(xolp))
+        p, s, loaded = load_reference_components(
+            weights_dir, dict(variables["params"]),
+            dict(variables["batch_stats"]), log=lambda *_: None)
+        assert {"xolp_encoder", "normals_encoder"} <= set(loaded)
+        return model.apply({"params": p, "batch_stats": s},
+                           jnp.asarray(color), xolp=jnp.asarray(xolp),
+                           train=False)
+
+    sep = load_into(PolarDepthNet(dropout_rate=0.0))
+    fused = load_into(PolarDepthNet(dropout_rate=0.0, fused_encoders=True,
+                                    fused_plan="dense"))
+    for sscale in (0, 1, 2, 3):
+        np.testing.assert_allclose(
+            np.asarray(fused[("disp", sscale)]),
+            np.asarray(sep[("disp", sscale)]),
+            rtol=2e-5, atol=2e-5, err_msg=f"scale {sscale}")
