@@ -51,6 +51,13 @@ VARIANTS = [
 MODALITY_VARIANTS = [
     ("rgb", dict(use_attention=False, augment_xolp=False,
                  augment_normals=False)),
+    # single-polarization-branch rows (reference slide 33's decomposition):
+    # which of the two derived modalities carries the degenerate-surface
+    # signal on its own?
+    ("xolp", dict(use_attention=False, augment_xolp=True,
+                  augment_normals=False)),
+    ("normals", dict(use_attention=False, augment_xolp=False,
+                     augment_normals=True)),
 ]
 
 
